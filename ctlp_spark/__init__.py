@@ -1,0 +1,22 @@
+"""ctlp_spark — a PySpark-native parse → filter → enrich → route → aggregate
+pipeline with the query capabilities of boogy/CloudTrail-Log-Parser, rebuilt
+from scratch (NOT a port) over tables of multi-turn agent transcripts.
+
+Reference semantics reproduced (see SURVEY.md §1.4, citations into
+/root/reference):
+
+* rules are OR'd with first-match-wins attribution   (pkg/rules/cached.go:122-133)
+* conditions within a rule are AND'd with early exit (pkg/rules/cached.go:136-165)
+* missing field / NULL value  -> condition fails -> record KEPT
+                                                     (pkg/rules/cached.go:154-157)
+* non-string leaf value       -> condition fails     (pkg/rules/cached.go:142-145)
+* regex match = unanchored substring search, RE2-safe subset
+                                                     (pkg/rules/cached.go:148)
+* match ⇒ DROP (noise filter)                        (cloudtrailprocessor.go:410-424)
+* kept rows pass through byte-identical, compared under stable
+  (conv_id, turn_idx) ordering                       (cloudtrailprocessor.go:423)
+"""
+
+__version__ = "0.1.0"
+
+from ctlp_spark.rules import Match, Rule, RuleConfig, load_rules  # noqa: F401

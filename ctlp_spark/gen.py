@@ -1,0 +1,244 @@
+"""Deterministic synthetic transcript generator (FIXTURES.md §1).
+
+Seeded, vectorized (numpy/pandas → pyarrow parquet), no external data. The
+generated table has the authoritative input shape
+(conv_id:string, turn_idx:int32, role:string, text:string, tool:string,
+ts:timestamp) with a hot-conversation skew knob (top 1% of conversations hold
+~30% of turns) to exercise salting, plus rule-matchable text markers, ~5%
+empty and ~2% NULL text for missing-field semantics tests.
+
+The expected golden counts for DEFAULT_RULES are computed with the pure-
+Python evaluator (rules.eval_rules_py) — the analogue of the reference's
+golden corpus numbers (cloudtrailprocessor_test.go:59,85,123: ec2=73,
+kms=1044, compound keeps 1653).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ctlp_spark.rules import RuleConfig, eval_rules_py, load_rules
+
+ROLES = np.array(["user", "assistant", "tool", "system"])
+ROLE_P = np.array([0.35, 0.40, 0.20, 0.05])
+TOOLS = np.array(["search", "browser", "python", "bash", "editor"])
+TOPICS = np.array(
+    [
+        "spark", "iceberg", "parquet", "shuffle", "lambda", "regex",
+        "cloudtrail", "pipelines", "metrics", "retries", "skew", "joins",
+        "windows", "streams", "sketches", "tokens", "quality", "dedup",
+        "routing", "lineage",
+    ]
+)
+
+DEFAULT_RULES_YAML = """\
+version: 1.0.0
+meta: {description: fixture rules (FIXTURES.md §2), author: tests}
+rules:
+  - name: drop-tool-search
+    matches:
+      - {field_name: role, regex: "^tool$"}
+      - {field_name: tool, regex: "^(search|browser)$"}
+  - name: drop-timeouts
+    matches:
+      - {field_name: text, regex: "ERROR: timeout"}
+  - name: drop-system-boilerplate
+    matches:
+      - {field_name: role, regex: "^system$"}
+      - {field_name: text, regex: "^You are"}
+  - name: drop-json-action
+    matches:
+      - {field_name: text_json.action, regex: "^search$"}
+"""
+
+JSON_COLUMNS = {"text_json": "text"}  # rule dot-path prefix → source column
+
+
+def default_rules() -> RuleConfig:
+    return load_rules(DEFAULT_RULES_YAML)
+
+
+def _conversation_sizes(n_rows: int, rng: np.random.Generator, skew: bool) -> np.ndarray:
+    """Per-conversation turn counts summing exactly to n_rows; with skew, the
+    first ~1% of conversations are inflated to hold ~30% of all turns."""
+    avg = 8
+    n_convs = max(1, n_rows // avg)
+    sizes = rng.geometric(1.0 / avg, size=n_convs).astype(np.int64)
+    if skew and n_convs >= 100:
+        hot = max(1, n_convs // 100)
+        total = sizes.sum()
+        hot_sum = sizes[:hot].sum()
+        cold_sum = total - hot_sum
+        target = 0.3 * cold_sum / 0.7  # hot share ≈ 30% of new total
+        factor = max(1.0, target / max(hot_sum, 1))
+        sizes[:hot] = np.maximum(1, (sizes[:hot] * factor).astype(np.int64))
+    # trim / pad to exactly n_rows
+    cum = np.cumsum(sizes)
+    cut = int(np.searchsorted(cum, n_rows))
+    sizes = sizes[: cut + 1].copy()
+    overshoot = sizes.sum() - n_rows
+    if overshoot > 0:
+        sizes[-1] -= overshoot
+    elif overshoot < 0:
+        sizes[-1] += -overshoot
+    return sizes[sizes > 0]
+
+
+def gen_transcripts(n_rows: int, seed: int = 42, skew: bool = True) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    sizes = _conversation_sizes(n_rows, rng, skew)
+    n_convs = len(sizes)
+    conv_ids = np.array([f"conv-{i:08d}" for i in range(n_convs)])
+    conv_of_row = np.repeat(np.arange(n_convs), sizes)
+    offsets = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+    turn_idx = (np.arange(sizes.sum()) - np.repeat(offsets, sizes)).astype(np.int32)
+    n = len(conv_of_row)
+
+    role = rng.choice(ROLES, size=n, p=ROLE_P)
+    tool = np.where(role == "tool", rng.choice(TOOLS, size=n), None)
+    topic = rng.choice(TOPICS, size=n)
+    action = rng.choice(TOOLS, size=n)
+    nms = rng.integers(10, 30000, size=n).astype(str)
+
+    # template mix: call / timeout-error / summary / embedded-json / system
+    # boilerplate / misc / empty / NULL
+    tmpl = rng.choice(
+        np.arange(8), size=n,
+        p=[0.25, 0.13, 0.25, 0.10, 0.07, 0.10, 0.05, 0.05],
+    )
+    tool_or_search = np.where(tool == None, "search", tool)  # noqa: E711
+    choices = [
+        "calling " + tool_or_search.astype(object) + " for " + topic.astype(object),
+        "ERROR: timeout after " + nms.astype(object) + "ms",
+        "here is the summary of " + topic.astype(object),
+        '{"action":"' + action.astype(object) + '","params":{"q":"'
+        + topic.astype(object) + '"}}',
+        "You are a helpful assistant for " + topic.astype(object),
+        "let us discuss " + topic.astype(object) + " next",
+        np.full(n, "", dtype=object),
+        np.full(n, None, dtype=object),
+    ]
+    text = np.select([tmpl == i for i in range(8)], choices, default=None)
+
+    base = np.datetime64("2026-01-01T00:00:00", "us")
+    ts = (
+        base
+        + np.repeat(np.arange(n_convs), sizes) * np.timedelta64(60, "s")
+        + turn_idx.astype("int64") * np.timedelta64(7, "s")
+    )
+
+    return pd.DataFrame(
+        {
+            "conv_id": conv_ids[conv_of_row],
+            "turn_idx": turn_idx,
+            "role": role,
+            "text": text,
+            "tool": tool,
+            "ts": ts,
+        }
+    )
+
+
+ARROW_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("role", pa.string()),
+        ("text", pa.string()),
+        ("tool", pa.string()),
+        ("ts", pa.timestamp("us")),
+    ]
+)
+
+
+def expected_counts(pdf: pd.DataFrame, cfg: RuleConfig | None = None) -> dict:
+    """Golden counters via the pure-Python evaluator. Dot-path rules resolve
+    against a parsed-JSON view of text under the ``text_json`` prefix —
+    mirroring how the Spark compilers treat JSON_COLUMNS."""
+    cfg = cfg or default_rules()
+    hits: dict[str, int] = {}
+    dropped = 0
+    for row in pdf.itertuples(index=False):
+        rec: dict = {
+            "conv_id": row.conv_id,
+            "turn_idx": row.turn_idx,  # int → non-string ⇒ never matches
+            "role": row.role,
+            "tool": row.tool if row.tool is not None else None,
+            "ts": row.ts,
+        }
+        if row.text is not None and not (isinstance(row.text, float) and np.isnan(row.text)):
+            rec["text"] = row.text
+            stripped = str(row.text).lstrip()
+            if stripped.startswith("{"):
+                try:
+                    parsed = json.loads(row.text)
+                    if isinstance(parsed, dict):
+                        # JSON scalars as strings — matches get_json_object
+                        rec["text_json"] = {
+                            k: (v if isinstance(v, dict) else json.dumps(v)
+                                if not isinstance(v, str) else v)
+                            for k, v in parsed.items()
+                        }
+                except ValueError:
+                    pass
+        if rec.get("tool") is None:
+            rec.pop("tool", None)
+        name = eval_rules_py(cfg, rec)
+        if name is not None:
+            dropped += 1
+            hits[name] = hits.get(name, 0) + 1
+    total = len(pdf)
+    return {
+        "total": total,
+        "kept": total - dropped,
+        "dropped": dropped,
+        "rule_hits": hits,
+    }
+
+
+def write_transcripts(
+    out_dir: str,
+    n_rows: int,
+    seed: int = 42,
+    skew: bool = True,
+    with_expected: bool = True,
+) -> dict | None:
+    """Write transcripts.parquet (+ expected_counts.json for DEFAULT_RULES)
+    into out_dir; returns the expected counts dict when computed."""
+    os.makedirs(out_dir, exist_ok=True)
+    pdf = gen_transcripts(n_rows, seed=seed, skew=skew)
+    table = pa.Table.from_pandas(pdf, schema=ARROW_SCHEMA, preserve_index=False)
+    pq.write_table(table, os.path.join(out_dir, "transcripts.parquet"))
+    exp = None
+    if with_expected and n_rows <= 500_000:
+        exp = expected_counts(pdf)
+        with open(os.path.join(out_dir, "expected_counts.json"), "w") as fh:
+            json.dump(exp, fh, indent=2)
+    return exp
+
+
+def role_dim_pdf() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "role": ["user", "assistant", "tool", "system"],
+            "role_class": ["human", "model", "infra", "infra"],
+            "weight": [1.0, 1.0, 0.5, 0.1],
+        }
+    )
+
+
+def tool_dim_pdf() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "tool": ["search", "browser", "python", "bash", "editor"],
+            "tool_family": ["retrieval", "retrieval", "exec", "exec", "edit"],
+            "risk": ["low", "medium", "high", "high", "medium"],
+        }
+    )

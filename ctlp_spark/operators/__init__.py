@@ -1,0 +1,10 @@
+from ctlp_spark.operators.pipeline import (  # noqa: F401
+    dry_run_df,
+    enrich,
+    repartition_salted,
+    route,
+    run_pipeline,
+    sink_counts,
+    stable_order,
+    tag,
+)

@@ -1,0 +1,214 @@
+"""The filter → enrich → route → aggregate pipeline.
+
+The Spark reimagination of the reference's copy pipeline
+(/root/reference/pkg/cloudtrailprocessor/cloudtrailprocessor.go:139-212,
+368-435): tag every turn with the first matching drop rule, route survivors
+to the kept sink byte-identical and matches to per-rule fan-out sinks, and
+derive exact per-sink counters from committed data (never from accumulators —
+they over-count under task retry; SURVEY.md §2.3 A3).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ctlp_spark.plans.compile import (
+    MATCHED_RULE_COL,
+    matched_rule_native,
+    matched_rule_pandas,
+)
+from ctlp_spark.rules import DryRunResult, RuleConfig
+
+KEPT_DIR = "kept"
+DROPPED_DIR = "dropped"
+
+
+def tag(
+    df: DataFrame,
+    cfg: RuleConfig,
+    engine: str = "native",
+    json_columns: dict[str, str] | None = None,
+) -> DataFrame:
+    """Add the nullable ``matched_rule`` attribution column (P4 in SURVEY §2.2).
+
+    engine='native'  → Catalyst coalesce(when(rlike…)) — codegen fast path.
+    engine='pandas'  → vectorized pandas/Arrow UDF — input_hint parity path.
+    Both produce identical attributions (tested in test_compile.py).
+    """
+    if engine == "native":
+        col = matched_rule_native(df, cfg, json_columns)
+    elif engine == "pandas":
+        col = matched_rule_pandas(df, cfg, json_columns)
+    else:
+        raise ValueError(f"unknown engine {engine!r} (native|pandas)")
+    return df.withColumn(MATCHED_RULE_COL, col)
+
+
+def route(tagged: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split a tagged frame into (kept, dropped) — the R1/R2 fan-out
+    (cloudtrailprocessor.go:173-177, 410-421). Kept rows lose the tag column
+    (pass-through must be byte-identical to the input rows); dropped rows
+    carry their attribution."""
+    kept = tagged.where(F.col(MATCHED_RULE_COL).isNull()).drop(MATCHED_RULE_COL)
+    dropped = tagged.where(F.col(MATCHED_RULE_COL).isNotNull())
+    return kept, dropped
+
+
+def enrich(
+    df: DataFrame,
+    role_dim: DataFrame | None = None,
+    tool_dim: DataFrame | None = None,
+) -> DataFrame:
+    """Broadcast-join enrichment against small role/tool dictionaries (graft
+    extension — SURVEY §2.4). Left joins: unknown values keep NULL
+    enrichment. Dims are tiny (≤ dozens of rows) so an explicit broadcast
+    hint removes any shuffle."""
+    out = df
+    if role_dim is not None:
+        out = out.join(F.broadcast(role_dim), on="role", how="left")
+    if tool_dim is not None:
+        out = out.join(F.broadcast(tool_dim), on="tool", how="left")
+    return out
+
+
+def repartition_salted(
+    df: DataFrame,
+    num_partitions: int,
+    key: str = "conv_id",
+    salt_source: str = "turn_idx",
+    buckets: int = 16,
+) -> DataFrame:
+    """Salted repartition to defeat hot-key skew (north rule; SURVEY §4 item 3).
+
+    Hot conversations (top 1% holding ~30% of turns) would overload single
+    shuffle partitions under plain hash(conv_id); salting by a second column
+    spreads each conversation over up to ``buckets`` partitions while still
+    co-locating turns of cold conversations. Any per-conversation operator
+    that needs ALL turns together must re-group afterwards (the stable
+    (conv_id, turn_idx) sort at comparison boundaries is `stable_order`)."""
+    salt = F.pmod(F.xxhash64(F.col(salt_source)), F.lit(buckets))
+    return df.repartition(num_partitions, F.col(key), salt)
+
+
+def stable_order(df: DataFrame) -> DataFrame:
+    """Deterministic (conv_id, turn_idx) ordering at comparison boundaries —
+    the Spark analogue of the reference's preserved file order
+    (cloudtrailprocessor.go:423). Never rely on incidental order."""
+    return df.orderBy("conv_id", "turn_idx")
+
+
+def dry_run_df(
+    df: DataFrame,
+    cfg: RuleConfig,
+    engine: str = "native",
+    json_columns: dict[str, str] | None = None,
+) -> DryRunResult:
+    """Distributed dry run (reference pkg/rules/versioned.go:323-353):
+    per-rule first-match hit counts + filter rate, via one groupBy — exact,
+    no accumulators."""
+    counts = (
+        tag(df, cfg, engine, json_columns)
+        .groupBy(MATCHED_RULE_COL)
+        .count()
+        .collect()
+    )
+    hits: dict[str, int] = {}
+    passed = 0
+    for row in counts:
+        if row[MATCHED_RULE_COL] is None:
+            passed = row["count"]
+        else:
+            hits[row[MATCHED_RULE_COL]] = row["count"]
+    filtered = sum(hits.values())
+    total = filtered + passed
+    return DryRunResult(
+        total_events=total,
+        filtered_count=filtered,
+        passed_count=passed,
+        filter_rate=(filtered / total) if total else 0.0,
+        rule_hits=hits,
+    )
+
+
+@dataclass
+class PipelineResult:
+    """Counters derived from committed sink data (exact under retries)."""
+
+    total: int
+    kept: int
+    dropped: int
+    rule_hits: dict[str, int] = field(default_factory=dict)
+    kept_path: str = ""
+    dropped_path: str = ""
+
+    @property
+    def filter_rate(self) -> float:
+        return self.dropped / self.total if self.total else 0.0
+
+
+def run_pipeline(
+    df: DataFrame,
+    cfg: RuleConfig,
+    out_dir: str,
+    engine: str = "native",
+    json_columns: dict[str, str] | None = None,
+    role_dim: DataFrame | None = None,
+    tool_dim: DataFrame | None = None,
+    mode: str = "overwrite",
+    fanout_partition_col: str = MATCHED_RULE_COL,
+    kept_path: str | None = None,
+    dropped_path: str | None = None,
+) -> PipelineResult:
+    """End-to-end batch pipeline: tag → route → enrich(kept) → write sinks →
+    exact counters from the committed sinks.
+
+    Sinks (parquet; Iceberg when available — see sources/io.py):
+      {out_dir}/kept/      survivors, original columns (+ enrichment)
+      {out_dir}/dropped/   matches, partitioned by matched_rule → per-rule
+                           fan-out directories (R2, north rule fan-out sinks)
+    """
+    spark = df.sparkSession
+    tagged = tag(df, cfg, engine, json_columns)
+    kept, dropped = route(tagged)
+    kept = enrich(kept, role_dim, tool_dim)
+
+    kept_path = kept_path or f"{out_dir}/{KEPT_DIR}"
+    dropped_path = dropped_path or f"{out_dir}/{DROPPED_DIR}"
+    kept.write.mode(mode).parquet(kept_path)
+    (
+        dropped.write.mode(mode)
+        .partitionBy(fanout_partition_col)
+        .parquet(dropped_path)
+    )
+    return sink_counts(spark, out_dir, kept_path=kept_path, dropped_path=dropped_path)
+
+
+def sink_counts(
+    spark: SparkSession,
+    out_dir: str,
+    kept_path: str | None = None,
+    dropped_path: str | None = None,
+) -> PipelineResult:
+    """Exact per-sink counters read back from committed data (A1/A2 in
+    SURVEY §2.3). Partition pruning makes the per-rule counts a
+    metadata-cheap scan of the fan-out layout."""
+    kept_path = kept_path or f"{out_dir}/{KEPT_DIR}"
+    dropped_path = dropped_path or f"{out_dir}/{DROPPED_DIR}"
+    kept_n = spark.read.parquet(kept_path).count()
+    dropped_df = spark.read.parquet(dropped_path)
+    hits = {
+        row[MATCHED_RULE_COL]: row["count"]
+        for row in dropped_df.groupBy(MATCHED_RULE_COL).count().collect()
+    }
+    dropped_n = sum(hits.values())
+    return PipelineResult(
+        total=kept_n + dropped_n,
+        kept=kept_n,
+        dropped=dropped_n,
+        rule_hits=hits,
+        kept_path=kept_path,
+        dropped_path=dropped_path,
+    )

@@ -1,0 +1,6 @@
+from ctlp_spark.plans.compile import (  # noqa: F401
+    MATCHED_RULE_COL,
+    matched_rule_native,
+    matched_rule_pandas,
+    resolve_field,
+)

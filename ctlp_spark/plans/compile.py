@@ -1,0 +1,195 @@
+"""Rule-set → Spark plan compilers.
+
+Two interchangeable compilers produce the same nullable ``matched_rule``
+string column (NULL = kept, name = first matching rule = drop attribution):
+
+* :func:`matched_rule_native` — pure Catalyst column expressions
+  (``coalesce(when(AND(rlike…), name)…)``). Whole-stage-codegen'd, regex
+  compiled once per task by the JVM; Catalyst can push the referenced-column
+  pruning into the scan. This is the fast path.
+
+* :func:`matched_rule_pandas` — a vectorized pandas/Arrow UDF applying
+  pre-compiled Python ``re`` patterns per Arrow batch with per-rule masking
+  (only still-unmatched rows are scanned by later rules — the columnar
+  analogue of the reference's early-exit loop, pkg/rules/cached.go:122-133).
+  Required by the project's input_hint; never row-at-a-time Python.
+
+Both reproduce the reference's cached-evaluator semantics
+(pkg/rules/cached.go:122-165, SURVEY.md §1.4):
+
+* first-match-wins OR across rules, in config order;
+* AND within a rule;
+* missing field → condition fails → kept  (cached.go:154-157);
+* non-string leaf → condition fails        (cached.go:142-145);
+* unanchored regex search                  (cached.go:148).
+
+Field resolution (the analogue of pkg/utils/utils.go:70-99 dot-path descent):
+
+* flat column name → that column (must be STRING, else always-false);
+* ``a.b.c`` where ``a`` is a struct column → nested field (STRING leaf);
+* ``a.b.c`` where ``a`` is registered in ``json_columns`` (e.g.
+  ``{"text_json": "text"}``) → ``get_json_object(text, '$.b.c')``; JSON
+  scalars are extracted as their string form (grok-style; documented
+  divergence: the Go engine refuses non-string JSON leaves, we match their
+  textual form — both our Spark paths and the DuckDB oracle agree);
+* anything else (missing column / missing struct field / array in the
+  path) → always-false, i.e. the record cannot be dropped by that rule —
+  exactly the reference's missing-field-keeps behavior.
+"""
+
+from __future__ import annotations
+
+import re
+from functools import reduce
+from operator import and_
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ctlp_spark.rules import RuleConfig
+
+MATCHED_RULE_COL = "matched_rule"
+
+
+def _struct_leaf_type(schema: T.StructType, path: list[str]) -> T.DataType | None:
+    """Walk a struct schema down ``path``; None if any segment is missing or
+    a non-struct intermediate (arrays/maps are not addressable — mirrors
+    pkg/utils/utils.go:89-98 where only maps are descended)."""
+    cur: T.DataType = schema
+    for seg in path:
+        if not isinstance(cur, T.StructType):
+            return None
+        match = next((f for f in cur.fields if f.name == seg), None)
+        if match is None:
+            return None
+        cur = match.dataType
+    return cur
+
+
+def resolve_field(
+    df: DataFrame,
+    field_name: str,
+    json_columns: dict[str, str] | None = None,
+) -> Column | None:
+    """Resolve a rule field path to a STRING Column, or None if the
+    condition can never hold (missing field / non-string leaf)."""
+    json_columns = json_columns or {}
+    parts = field_name.split(".")
+    head, rest = parts[0], parts[1:]
+
+    if rest and head in json_columns:
+        src = json_columns[head]
+        if src not in df.columns:
+            return None
+        return F.get_json_object(F.col(src), "$." + ".".join(rest))
+
+    leaf = _struct_leaf_type(df.schema, parts)
+    if leaf is None:
+        return None
+    if not isinstance(leaf, T.StringType):
+        # non-string leaf ⇒ condition fails (cached.go:142-145)
+        return None
+    return F.col(field_name)
+
+
+def matched_rule_native(
+    df: DataFrame,
+    cfg: RuleConfig,
+    json_columns: dict[str, str] | None = None,
+) -> Column:
+    """First-match rule attribution as a native Catalyst expression.
+
+    ``coalesce(when(r1, 'r1-name'), when(r2, 'r2-name'), …)`` — CASE WHEN
+    evaluation order preserves the reference's first-match attribution
+    (cached.go:122-133); NULL predicates (NULL rlike) fall through, which is
+    exactly missing-field-keeps.
+    """
+    branches: list[Column] = []
+    for rule in cfg.rules:
+        conds: list[Column] = []
+        impossible = False
+        for m in rule.matches:
+            col = resolve_field(df, m.field_name, json_columns)
+            if col is None:
+                impossible = True
+                break
+            conds.append(col.rlike(m.regex))
+        if impossible:
+            continue  # rule can never fire on this schema
+        pred = reduce(and_, conds)
+        branches.append(F.when(pred, F.lit(rule.name)))
+    if not branches:
+        return F.lit(None).cast(T.StringType()).alias(MATCHED_RULE_COL)
+    return F.coalesce(*branches).alias(MATCHED_RULE_COL)
+
+
+def matched_rule_pandas(
+    df: DataFrame,
+    cfg: RuleConfig,
+    json_columns: dict[str, str] | None = None,
+) -> Column:
+    """First-match rule attribution as a vectorized pandas/Arrow UDF.
+
+    Field resolution stays JVM-side (struct access / get_json_object feed the
+    UDF as plain string columns); the UDF does only regex matching on Arrow
+    batches. Patterns are compiled once on the driver and shipped inside the
+    closure (the analogue of the reference's pre-compiled rule cache,
+    pkg/rules/cached.go:50-103).
+    """
+    fields = cfg.field_names()
+    resolved: dict[str, Column | None] = {
+        f: resolve_field(df, f, json_columns) for f in fields
+    }
+    # Inputs to the UDF: one string column per referenced field; unresolvable
+    # fields become NULL literals (condition can never hold).
+    input_cols = [
+        (resolved[f] if resolved[f] is not None else F.lit(None).cast("string"))
+        for f in fields
+    ]
+    idx = {f: i for i, f in enumerate(fields)}
+    compiled: list[tuple[str, list[tuple[int, re.Pattern]] | None]] = []
+    for rule in cfg.rules:
+        if any(resolved[m.field_name] is None for m in rule.matches):
+            compiled.append((rule.name, None))  # impossible on this schema
+            continue
+        compiled.append(
+            (rule.name, [(idx[m.field_name], re.compile(m.regex)) for m in rule.matches])
+        )
+
+    @F.pandas_udf(T.StringType())
+    def _eval(*series: pd.Series) -> pd.Series:
+        import warnings
+
+        import numpy as np
+
+        # pandas warns that a grouped pattern "has match groups" — substring
+        # search (not extraction) is exactly the reference's semantics
+        warnings.filterwarnings(
+            "ignore", message="This pattern is interpreted as a regular expression"
+        )
+
+        n = len(series[0]) if series else 0
+        result = pd.Series([None] * n, dtype=object)
+        unmatched = np.ones(n, dtype=bool)
+        for name, matches in compiled:
+            if matches is None or not unmatched.any():
+                continue
+            mask = unmatched.copy()
+            for col_i, pat in matches:
+                if not mask.any():
+                    break
+                # evaluate only still-candidate rows (per-rule masking — the
+                # vectorized analogue of the early-exit loop)
+                sub = series[col_i][mask]
+                hit = sub.str.contains(pat, na=False).to_numpy(dtype=bool)
+                mask[mask] = hit
+            if mask.any():
+                result[mask] = name
+                unmatched &= ~mask
+        return result
+
+    if not fields:
+        return F.lit(None).cast(T.StringType()).alias(MATCHED_RULE_COL)
+    return _eval(*input_cols).alias(MATCHED_RULE_COL)

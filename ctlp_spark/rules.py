@@ -1,0 +1,268 @@
+"""Rule-config model, validation and dry-run statistics.
+
+Re-implements (from scratch, in Python) the semantics of the reference's rule
+engine:
+
+* config model      — /root/reference/pkg/rules/rules.go:15-31
+* versioned config  — /root/reference/pkg/rules/versioned.go:63-116
+* validation        — /root/reference/pkg/rules/versioned.go:119-313
+* ReDoS guard       — /root/reference/pkg/rules/rules.go:91-144
+* dry-run counters  — /root/reference/pkg/rules/versioned.go:323-362
+
+All validation is driver-side Python (config sets are tiny, ≤1000 rules per
+the reference's docs/ARCHITECTURE.md:666); only the compiled predicate runs
+distributed.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass, field
+
+try:  # PyYAML is present in the image, but gate anyway
+    import yaml
+
+    _HAVE_YAML = True
+except ImportError:  # pragma: no cover
+    _HAVE_YAML = False
+
+MAX_PATTERN_LENGTH = 1000  # reference: pkg/rules/rules.go:96-101
+MAX_RULES = 1000  # reference: docs/ARCHITECTURE.md:666 (advisory)
+
+# Field paths: dotted identifiers, like the reference's validation whitelist
+# syntax (pkg/rules/versioned.go:290-305). Each segment is a bare identifier.
+_FIELD_PATH_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_\-]*(\.[A-Za-z_][A-Za-z0-9_\-]*)*$")
+
+# Semver for versioned configs (reference pkg/rules/versioned.go:308-313).
+_SEMVER_RE = re.compile(r"^\d+\.\d+\.\d+$")
+
+# Constructs outside the RE2-safe common subset. Go's regexp is RE2
+# (linear-time, no backreferences/lookaround); Java `rlike`, Python `re`
+# and DuckDB (RE2) must all agree, so rules are restricted to the common
+# subset at load time (SURVEY.md §4.4).
+_NON_RE2_CONSTRUCTS = [
+    (re.compile(r"\(\?=|\(\?!|\(\?<=|\(\?<!"), "lookaround"),
+    (re.compile(r"\\[1-9]"), "backreference"),
+    (re.compile(r"[*+?}]\+"), "possessive quantifier"),
+    (re.compile(r"\(\?>"), "atomic group"),
+]
+
+# ReDoS-prone shapes: a quantified group that itself ends in a quantifier,
+# e.g. (.*)+ (a+)+ (a|a)* — the reference rejects these at config load
+# (pkg/rules/rules.go:103-144). RE2 engines don't backtrack, but Java/Python
+# do, so the guard matters MORE here than in the Go original.
+_REDOS_RE = re.compile(r"\((?:[^()\\]|\\.)*[*+](?:[^()\\]|\\.)*\)\s*[*+{]")
+
+
+class RuleValidationError(ValueError):
+    """Raised when a rule configuration fails validation at load time."""
+
+
+@dataclass(frozen=True)
+class Match:
+    """One (field, regex) condition — reference pkg/rules/rules.go:26-31."""
+
+    field_name: str
+    regex: str
+
+
+@dataclass(frozen=True)
+class Rule:
+    """A named conjunction of matches — reference pkg/rules/rules.go:20-23."""
+
+    name: str
+    matches: tuple[Match, ...]
+
+
+@dataclass
+class RuleConfig:
+    """An ordered rule set — reference pkg/rules/rules.go:15-17.
+
+    Order is semantic: first matching rule supplies the drop attribution
+    (pkg/rules/cached.go:122-133), so rule order is frozen at load and never
+    re-sorted.
+    """
+
+    rules: tuple[Rule, ...]
+    version: str = "1.0.0"
+    meta: dict = field(default_factory=dict)
+
+    @property
+    def rule_names(self) -> list[str]:
+        return [r.name for r in self.rules]
+
+    def field_names(self) -> list[str]:
+        """Distinct field paths referenced by any rule, in first-use order."""
+        seen: dict[str, None] = {}
+        for rule in self.rules:
+            for m in rule.matches:
+                seen.setdefault(m.field_name, None)
+        return list(seen)
+
+
+def validate_pattern(pattern: str, *, where: str = "") -> None:
+    """Reject patterns outside the RE2-safe subset or ReDoS-prone.
+
+    Mirrors the reference's validatePattern (pkg/rules/rules.go:91-144):
+    length cap, compile check, nested-quantifier rejection — extended with
+    the cross-engine dialect guard of SURVEY.md §4.4.
+    """
+    if not pattern:
+        raise RuleValidationError(f"{where}: empty regex pattern")
+    if len(pattern) > MAX_PATTERN_LENGTH:
+        raise RuleValidationError(
+            f"{where}: pattern longer than {MAX_PATTERN_LENGTH} chars"
+        )
+    for probe, label in _NON_RE2_CONSTRUCTS:
+        if probe.search(pattern):
+            raise RuleValidationError(
+                f"{where}: pattern uses {label}, outside the RE2-safe subset"
+            )
+    if _REDOS_RE.search(pattern):
+        raise RuleValidationError(
+            f"{where}: nested quantifier (ReDoS-prone pattern rejected)"
+        )
+    try:
+        re.compile(pattern)
+    except re.error as exc:
+        raise RuleValidationError(f"{where}: invalid regex: {exc}") from exc
+
+
+def validate_config(cfg: RuleConfig) -> None:
+    """Full config validation — reference pkg/rules/versioned.go:119-167.
+
+    Checks: semver version, non-empty rule set, unique rule names, non-empty
+    match lists, field-path syntax, pattern validity/dialect/ReDoS.
+    """
+    if cfg.version and not _SEMVER_RE.match(cfg.version):
+        raise RuleValidationError(f"invalid semver version: {cfg.version!r}")
+    if not cfg.rules:
+        raise RuleValidationError("configuration has no rules")
+    if len(cfg.rules) > MAX_RULES:
+        raise RuleValidationError(f"more than {MAX_RULES} rules")
+    seen: set[str] = set()
+    for rule in cfg.rules:
+        if not rule.name:
+            raise RuleValidationError("rule with empty name")
+        if rule.name in seen:
+            raise RuleValidationError(f"duplicate rule name: {rule.name!r}")
+        seen.add(rule.name)
+        if not rule.matches:
+            raise RuleValidationError(f"rule {rule.name!r} has no matches")
+        for m in rule.matches:
+            if not _FIELD_PATH_RE.match(m.field_name):
+                raise RuleValidationError(
+                    f"rule {rule.name!r}: bad field path {m.field_name!r}"
+                )
+            validate_pattern(m.regex, where=f"rule {rule.name!r}")
+
+
+def _config_from_obj(obj: dict) -> RuleConfig:
+    rules = tuple(
+        Rule(
+            name=r["name"],
+            matches=tuple(
+                Match(field_name=m["field_name"], regex=m["regex"])
+                for m in r.get("matches", [])
+            ),
+        )
+        for r in obj.get("rules", [])
+    )
+    return RuleConfig(
+        rules=rules,
+        version=str(obj.get("version", "1.0.0")),
+        meta=dict(obj.get("meta") or {}),
+    )
+
+
+def load_rules(source: str | dict, *, validate: bool = True) -> RuleConfig:
+    """Load a rule config from a YAML/JSON file path, a YAML/JSON string, or
+    an already-parsed dict. Driver-side only — the analogue of the
+    reference's config loaders (pkg/config/loader.go:21-208); remote loaders
+    (S3/SSM/SecretsManager) are out of scope per SURVEY.md §7.4.
+    """
+    if isinstance(source, dict):
+        obj = source
+    else:
+        text = source
+        if "\n" not in source and (
+            source.endswith((".yaml", ".yml", ".json")) or "/" in source
+        ):
+            with open(source, encoding="utf-8") as fh:
+                text = fh.read()
+        stripped = text.lstrip()
+        if stripped.startswith("{"):
+            obj = json.loads(text)
+        elif _HAVE_YAML:
+            obj = yaml.safe_load(text)
+        else:  # pragma: no cover
+            obj = json.loads(text)
+    cfg = _config_from_obj(obj)
+    if validate:
+        validate_config(cfg)
+    return cfg
+
+
+def eval_rules_py(cfg: RuleConfig, record: dict) -> str | None:
+    """Pure-Python single-record evaluator (driver-side oracle/testing twin).
+
+    Exactly the cached-path semantics (pkg/rules/cached.go:122-165):
+    first-match-wins OR across rules; AND within a rule with early exit;
+    missing field / non-string leaf ⇒ condition fails. Dot paths descend
+    nested dicts only (arrays not addressable — pkg/utils/utils.go:89-98).
+    Returns the matching rule name, or None (record kept).
+    """
+    for rule in cfg.rules:
+        matched = True
+        for m in rule.matches:
+            value: object = record
+            for seg in m.field_name.split("."):
+                if isinstance(value, dict) and seg in value:
+                    value = value[seg]
+                else:
+                    value = _MISSING
+                    break
+            if value is _MISSING or not isinstance(value, str):
+                matched = False
+                break
+            if not re.search(m.regex, value):
+                matched = False
+                break
+        if matched:
+            return rule.name
+    return None
+
+
+_MISSING = object()
+
+
+@dataclass
+class DryRunResult:
+    """Aggregate counters — reference pkg/rules/versioned.go:356-362."""
+
+    total_events: int
+    filtered_count: int
+    passed_count: int
+    filter_rate: float
+    rule_hits: dict[str, int]
+
+
+def dry_run(cfg: RuleConfig, records: list[dict]) -> DryRunResult:
+    """Driver-side dry run over a small record sample — reference
+    pkg/rules/versioned.go:323-353. First-match attribution per record."""
+    hits: dict[str, int] = {}
+    filtered = 0
+    for rec in records:
+        name = eval_rules_py(cfg, rec)
+        if name is not None:
+            filtered += 1
+            hits[name] = hits.get(name, 0) + 1
+    total = len(records)
+    return DryRunResult(
+        total_events=total,
+        filtered_count=filtered,
+        passed_count=total - filtered,
+        filter_rate=(filtered / total) if total else 0.0,
+        rule_hits=hits,
+    )

@@ -1,0 +1,6 @@
+from ctlp_spark.sources.io import (  # noqa: F401
+    CheckpointManifest,
+    read_transcripts,
+    run_resumable,
+    with_lineage,
+)

@@ -1,0 +1,37 @@
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from ctlp_spark.gen import write_transcripts
+from ctlp_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="ctlp_tests", cpus=8, shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def corpus_dir(tmp_path_factory) -> str:
+    """Deterministic golden corpus: 20k turns, seed 42, with precomputed
+    expected counts for DEFAULT_RULES (the analogue of the reference's
+    1,679-record cloudtrail.json golden corpus)."""
+    d = tmp_path_factory.mktemp("corpus")
+    write_transcripts(str(d), n_rows=20_000, seed=42)
+    return str(d)
+
+
+@pytest.fixture(scope="session")
+def expected(corpus_dir) -> dict:
+    with open(os.path.join(corpus_dir, "expected_counts.json")) as fh:
+        return json.load(fh)
+
+
+@pytest.fixture(scope="session")
+def transcripts(spark, corpus_dir):
+    return spark.read.parquet(os.path.join(corpus_dir, "transcripts.parquet"))

@@ -1,0 +1,149 @@
+"""Dual-compiler tests: native Catalyst expressions vs vectorized pandas UDF
+must produce identical matched_rule attributions, and both must hit the
+golden counts computed by the pure-Python evaluator (SURVEY.md §5.2)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ctlp_spark.gen import JSON_COLUMNS, default_rules
+from ctlp_spark.operators.pipeline import dry_run_df, tag
+from ctlp_spark.rules import Match, Rule, RuleConfig, load_rules
+
+CFG = default_rules()
+
+
+@pytest.mark.parametrize("engine", ["native", "pandas"])
+def test_golden_counts(transcripts, expected, engine):
+    """Both compilers reproduce the generator's precomputed golden counters —
+    the analogue of the reference's ec2=73/kms=1044 golden-count tests
+    (cloudtrailprocessor_test.go:47-124)."""
+    res = dry_run_df(transcripts, CFG, engine=engine, json_columns=JSON_COLUMNS)
+    assert res.total_events == expected["total"]
+    assert res.passed_count == expected["kept"]
+    assert res.filtered_count == expected["dropped"]
+    assert res.rule_hits == expected["rule_hits"]
+
+
+def test_native_pandas_equivalence_rowwise(transcripts):
+    """Per-row attribution equality between the two compilers."""
+    a = tag(transcripts, CFG, "native", JSON_COLUMNS).select(
+        "conv_id", "turn_idx", F.col("matched_rule").alias("m_native")
+    )
+    b = tag(transcripts, CFG, "pandas", JSON_COLUMNS).select(
+        "conv_id", "turn_idx", F.col("matched_rule").alias("m_pandas")
+    )
+    diff = (
+        a.join(b, ["conv_id", "turn_idx"])
+        .where(~F.col("m_native").eqNullSafe(F.col("m_pandas")))
+        .count()
+    )
+    assert diff == 0
+
+
+@pytest.mark.parametrize("engine", ["native", "pandas"])
+def test_missing_column_keeps_all(transcripts, engine):
+    """A rule on a nonexistent column can never drop (cached.go:154-157)."""
+    cfg = RuleConfig(rules=(Rule("ghost", (Match("no_such_col", ".*"),)),))
+    res = dry_run_df(transcripts, cfg, engine=engine)
+    assert res.filtered_count == 0
+    assert res.passed_count == res.total_events
+
+
+@pytest.mark.parametrize("engine", ["native", "pandas"])
+def test_non_string_column_never_matches(transcripts, engine):
+    """turn_idx is int32 — non-string leaf ⇒ condition fails
+    (cached.go:142-145)."""
+    cfg = RuleConfig(rules=(Rule("intrule", (Match("turn_idx", "^0$"),)),))
+    res = dry_run_df(transcripts, cfg, engine=engine)
+    assert res.filtered_count == 0
+
+
+@pytest.mark.parametrize("engine", ["native", "pandas"])
+def test_null_value_keeps(spark, engine):
+    """NULL text ⇒ condition fails ⇒ kept."""
+    df = spark.createDataFrame(
+        [("c1", 0, "user", None, None), ("c1", 1, "user", "ERROR: timeout", None)],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    )
+    cfg = RuleConfig(rules=(Rule("t", (Match("text", "ERROR: timeout"),)),))
+    tagged = tag(df, cfg, engine).collect()
+    by_idx = {r["turn_idx"]: r["matched_rule"] for r in tagged}
+    assert by_idx[0] is None
+    assert by_idx[1] == "t"
+
+
+@pytest.mark.parametrize("engine", ["native", "pandas"])
+def test_first_match_attribution_order(spark, engine):
+    """Overlapping rules: config order decides attribution
+    (cached.go:122-133)."""
+    df = spark.createDataFrame(
+        [("c", 0, "ERROR: timeout"), ("c", 1, "ERROR: oom")],
+        "conv_id string, turn_idx int, text string",
+    )
+    cfg = RuleConfig(
+        rules=(
+            Rule("first", (Match("text", "timeout"),)),
+            Rule("second", (Match("text", "ERROR"),)),
+        )
+    )
+    by_idx = {r["turn_idx"]: r["matched_rule"] for r in tag(df, cfg, engine).collect()}
+    assert by_idx == {0: "first", 1: "second"}
+
+
+@pytest.mark.parametrize("engine", ["native", "pandas"])
+def test_unanchored_match(spark, engine):
+    df = spark.createDataFrame([("c", 0, "xx timeout yy")], "conv_id string, turn_idx int, text string")
+    cfg = RuleConfig(rules=(Rule("t", (Match("text", "timeout"),)),))
+    assert tag(df, cfg, engine).collect()[0]["matched_rule"] == "t"
+
+
+@pytest.mark.parametrize("engine", ["native", "pandas"])
+def test_json_dotpath(spark, engine):
+    """Dot-path into a JSON text column (grok-style) — the graft analogue of
+    the reference's nested userIdentity.sessionContext paths."""
+    rows = [
+        ("c", 0, '{"action":"search","params":{"q":"x"}}'),
+        ("c", 1, '{"action":"browse"}'),
+        ("c", 2, "not json"),
+        ("c", 3, None),
+        ("c", 4, '{"params":{"action":"search"}}'),  # wrong depth
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    cfg = load_rules(
+        """
+rules:
+  - name: drop-json-action
+    matches:
+      - {field_name: text_json.action, regex: "^search$"}
+"""
+    )
+    by_idx = {
+        r["turn_idx"]: r["matched_rule"]
+        for r in tag(df, cfg, engine, json_columns={"text_json": "text"}).collect()
+    }
+    assert by_idx == {0: "drop-json-action", 1: None, 2: None, 3: None, 4: None}
+
+
+@pytest.mark.parametrize("engine", ["native", "pandas"])
+def test_struct_column_dotpath(spark, engine):
+    """Dot path into a real struct column; non-string and missing leaves
+    fail the condition."""
+    df = spark.sql(
+        """
+        SELECT * FROM VALUES
+          ('c', 0, named_struct('user', named_struct('name', 'alice', 'n', 5))),
+          ('c', 1, named_struct('user', named_struct('name', 'bob',   'n', 6)))
+        AS t(conv_id, turn_idx, meta)
+        """
+    )
+    alice = RuleConfig(rules=(Rule("a", (Match("meta.user.name", "^alice$"),)),))
+    by_idx = {r["turn_idx"]: r["matched_rule"] for r in tag(df, alice, engine).collect()}
+    assert by_idx == {0: "a", 1: None}
+    # int leaf → never matches
+    intleaf = RuleConfig(rules=(Rule("n", (Match("meta.user.n", "^5$"),)),))
+    assert all(
+        r["matched_rule"] is None for r in tag(df, intleaf, engine).collect()
+    )
+    # missing leaf → never matches
+    ghost = RuleConfig(rules=(Rule("g", (Match("meta.user.ghost", ".*"),)),))
+    assert all(r["matched_rule"] is None for r in tag(df, ghost, engine).collect())

@@ -1,0 +1,133 @@
+"""End-to-end pipeline tests: routing fan-out, exact sink counters,
+routed-row equality (the north rule's per-turn text equality under stable
+ordering), enrichment, salting."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ctlp_spark.gen import JSON_COLUMNS, default_rules, role_dim_pdf, tool_dim_pdf
+from ctlp_spark.operators.pipeline import (
+    MATCHED_RULE_COL,
+    enrich,
+    repartition_salted,
+    route,
+    run_pipeline,
+    stable_order,
+    tag,
+)
+
+CFG = default_rules()
+
+
+@pytest.fixture(scope="module")
+def result(transcripts, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("pipe_out"))
+    res = run_pipeline(transcripts, CFG, out, engine="native", json_columns=JSON_COLUMNS)
+    return res, out
+
+
+def test_sink_counts_match_golden(result, expected):
+    res, _ = result
+    assert res.total == expected["total"]
+    assert res.kept == expected["kept"]
+    assert res.dropped == expected["dropped"]
+    assert res.rule_hits == expected["rule_hits"]
+
+
+def test_fanout_layout(result):
+    """Per-rule fan-out sinks: dropped/ is hive-partitioned by matched_rule
+    (R2 north-rule fan-out)."""
+    _, out = result
+    parts = {
+        d for d in os.listdir(os.path.join(out, "dropped")) if d.startswith("matched_rule=")
+    }
+    assert parts == {
+        "matched_rule=drop-tool-search",
+        "matched_rule=drop-timeouts",
+        "matched_rule=drop-system-boilerplate",
+        "matched_rule=drop-json-action",
+    }
+
+
+def test_routed_row_equality(spark, transcripts, result):
+    """Kept rows joined back to the input on (conv_id, turn_idx) must carry
+    identical text/role/tool — the Spark analogue of the reference's
+    byte-identical passthrough (cloudtrailprocessor.go:423), compared under
+    explicit stable ordering."""
+    _, out = result
+    kept = spark.read.parquet(os.path.join(out, "kept"))
+    joined = kept.alias("k").join(
+        transcripts.alias("i"), on=["conv_id", "turn_idx"], how="inner"
+    )
+    mismatches = joined.where(
+        ~F.col("k.text").eqNullSafe(F.col("i.text"))
+        | ~F.col("k.role").eqNullSafe(F.col("i.role"))
+        | ~F.col("k.tool").eqNullSafe(F.col("i.tool"))
+        | ~F.col("k.ts").eqNullSafe(F.col("i.ts"))
+    ).count()
+    assert mismatches == 0
+    # every kept row exists in the input exactly once (no dup/phantom rows)
+    assert joined.count() == kept.count()
+    # kept + dropped partition the input
+    dropped = spark.read.parquet(os.path.join(out, "dropped"))
+    assert kept.count() + dropped.count() == transcripts.count()
+    overlap = kept.select("conv_id", "turn_idx").intersect(
+        dropped.select("conv_id", "turn_idx")
+    )
+    assert overlap.count() == 0
+
+
+def test_stable_order_deterministic(spark, transcripts):
+    a = [
+        (r["conv_id"], r["turn_idx"])
+        for r in stable_order(transcripts).limit(50).collect()
+    ]
+    b = [
+        (r["conv_id"], r["turn_idx"])
+        for r in stable_order(transcripts.repartition(13)).limit(50).collect()
+    ]
+    assert a == b
+    assert a == sorted(a)
+
+
+def test_enrichment_broadcast_left_join(spark, transcripts):
+    role_dim = spark.createDataFrame(role_dim_pdf())
+    tool_dim = spark.createDataFrame(tool_dim_pdf())
+    enriched = enrich(transcripts, role_dim, tool_dim)
+    assert {"role_class", "weight", "tool_family", "risk"} <= set(enriched.columns)
+    # row count preserved (left join against PK dims)
+    assert enriched.count() == transcripts.count()
+    # unknown/NULL tool keeps NULL enrichment
+    nulls = enriched.where(F.col("tool").isNull() & F.col("tool_family").isNotNull())
+    assert nulls.count() == 0
+    # every tool turn got a family (dims cover the vocab)
+    missing = enriched.where(F.col("tool").isNotNull() & F.col("tool_family").isNull())
+    assert missing.count() == 0
+    # the plan must broadcast the dims — no shuffle join for tiny dims
+    plan = enriched._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_salted_repartition_spreads_hot_conversation(spark, transcripts):
+    """Hot conversations must spread over multiple partitions after salting
+    (skew handling, north rule)."""
+    hot = (
+        transcripts.groupBy("conv_id").count().orderBy(F.desc("count")).first()
+    )
+    salted = repartition_salted(transcripts, 16, buckets=8)
+    n_parts = (
+        salted.where(F.col("conv_id") == hot["conv_id"])
+        .select(F.spark_partition_id().alias("p"))
+        .distinct()
+        .count()
+    )
+    assert n_parts > 1  # a plain hash(conv_id) partition would give exactly 1
+
+
+def test_route_drops_tag_from_kept(transcripts):
+    kept, dropped = route(tag(transcripts, CFG, json_columns=JSON_COLUMNS))
+    assert MATCHED_RULE_COL not in kept.columns
+    assert MATCHED_RULE_COL in dropped.columns

@@ -1,0 +1,77 @@
+"""Checkpoint/resume tests: crash after k files, restart, final counters
+identical to an uninterrupted run; no duplicates (SURVEY.md §5.2 resume
+test)."""
+
+import os
+
+import pytest
+
+from ctlp_spark.gen import JSON_COLUMNS, default_rules, write_transcripts
+from ctlp_spark.sources.io import CheckpointManifest, run_resumable, with_lineage
+
+CFG = default_rules()
+
+
+@pytest.fixture(scope="module")
+def split_inputs(tmp_path_factory):
+    """Four input files, each its own deterministic corpus slice."""
+    d = tmp_path_factory.mktemp("inputs")
+    files = []
+    for i in range(4):
+        sub = os.path.join(str(d), f"batch{i}")
+        write_transcripts(sub, n_rows=2000, seed=100 + i, with_expected=False)
+        files.append(os.path.join(sub, "transcripts.parquet"))
+    return files
+
+
+def test_resume_after_crash_matches_full_run(spark, split_inputs, tmp_path):
+    full_out = str(tmp_path / "full")
+    full = run_resumable(
+        spark, split_inputs, CFG, full_out, str(tmp_path / "full.manifest.json"),
+        json_columns=JSON_COLUMNS,
+    )
+
+    crash_out = str(tmp_path / "crash")
+    manifest_path = str(tmp_path / "crash.manifest.json")
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run_resumable(
+            spark, split_inputs, CFG, crash_out, manifest_path,
+            json_columns=JSON_COLUMNS, fail_after=2,
+        )
+    m = CheckpointManifest(manifest_path)
+    assert len(m.completed) == 2  # two files committed before the crash
+
+    resumed = run_resumable(
+        spark, split_inputs, CFG, crash_out, manifest_path,
+        json_columns=JSON_COLUMNS,
+    )
+    assert resumed.total == full.total
+    assert resumed.kept == full.kept
+    assert resumed.dropped == full.dropped
+    assert resumed.rule_hits == full.rule_hits
+
+    # committed outputs contain no duplicates: kept+dropped rows == input rows
+    input_n = sum(spark.read.parquet(f).count() for f in split_inputs)
+    kept_n = spark.read.parquet(f"{crash_out}/kept").count()
+    dropped_n = spark.read.parquet(f"{crash_out}/dropped").count()
+    assert kept_n + dropped_n == input_n
+    assert kept_n == full.kept
+
+
+def test_already_done_files_are_skipped(spark, split_inputs, tmp_path):
+    out = str(tmp_path / "out")
+    manifest_path = str(tmp_path / "m.json")
+    run_resumable(spark, split_inputs[:2], CFG, out, manifest_path, json_columns=JSON_COLUMNS)
+    m1 = CheckpointManifest(manifest_path)
+    stats_before = dict(m1.completed)
+    run_resumable(spark, split_inputs, CFG, out, manifest_path, json_columns=JSON_COLUMNS)
+    m2 = CheckpointManifest(manifest_path)
+    for fid, stats in stats_before.items():
+        assert m2.completed[fid] == stats  # untouched, not re-processed
+
+
+def test_lineage_column(spark, split_inputs):
+    df = with_lineage(spark.read.parquet(split_inputs[0]))
+    vals = df.select("_src_file").distinct().collect()
+    assert len(vals) == 1
+    assert vals[0][0].endswith("transcripts.parquet")

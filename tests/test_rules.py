@@ -1,0 +1,149 @@
+"""Rule-model semantics tests — mirrors the reference's
+pkg/rules/rules_test.go, versioned_test.go, utils_test.go (SURVEY.md §5.1)."""
+
+import pytest
+
+from ctlp_spark.rules import (
+    Match,
+    Rule,
+    RuleConfig,
+    RuleValidationError,
+    dry_run,
+    eval_rules_py,
+    load_rules,
+    validate_config,
+    validate_pattern,
+)
+
+RULES = load_rules(
+    """
+version: 1.0.0
+rules:
+  - name: r-tool-search
+    matches:
+      - {field_name: role, regex: "^tool$"}
+      - {field_name: tool, regex: "^(search|browser)$"}
+  - name: r-timeout
+    matches:
+      - {field_name: text, regex: "ERROR: timeout"}
+  - name: r-nested
+    matches:
+      - {field_name: meta.user.name, regex: "^alice$"}
+"""
+)
+
+
+class TestEval:
+    def test_simple_match_attribution(self):
+        # analogue of rules_test.go:81-115 (match + rule-name attribution)
+        assert eval_rules_py(RULES, {"role": "tool", "tool": "search"}) == "r-tool-search"
+
+    def test_and_semantics(self):
+        # one condition fails ⇒ rule fails (cached.go:140-158)
+        assert eval_rules_py(RULES, {"role": "tool", "tool": "python"}) is None
+        assert eval_rules_py(RULES, {"role": "user", "tool": "search"}) is None
+
+    def test_missing_field_keeps(self):
+        # rules_test.go:138-149: absent field ⇒ condition fails ⇒ kept
+        assert eval_rules_py(RULES, {"role": "tool"}) is None
+
+    def test_non_string_leaf_fails_condition(self):
+        # cached.go:142-145: bool/number leaf ⇒ no match
+        assert eval_rules_py(RULES, {"role": "tool", "tool": 42}) is None
+        assert eval_rules_py(RULES, {"text": True}) is None
+
+    def test_unanchored_search(self):
+        # cached.go:148: unanchored substring search
+        assert (
+            eval_rules_py(RULES, {"text": "xx ERROR: timeout after 5ms yy"})
+            == "r-timeout"
+        )
+
+    def test_nested_dot_path(self):
+        # utils_test.go:36-120: deep descent through nested maps
+        rec = {"meta": {"user": {"name": "alice"}}}
+        assert eval_rules_py(RULES, rec) == "r-nested"
+        assert eval_rules_py(RULES, {"meta": {"user": {}}}) is None
+        assert eval_rules_py(RULES, {"meta": "flat-string"}) is None
+
+    def test_array_intermediate_not_addressable(self):
+        # utils.go:89-98: arrays terminate dot-path resolution
+        rec = {"meta": {"user": [{"name": "alice"}]}}
+        assert eval_rules_py(RULES, rec) is None
+
+    def test_first_match_wins_order(self):
+        # cached.go:122-133: first matching rule supplies attribution
+        cfg = RuleConfig(
+            rules=(
+                Rule("first", (Match("text", "timeout"),)),
+                Rule("second", (Match("text", "ERROR"),)),
+            )
+        )
+        assert eval_rules_py(cfg, {"text": "ERROR: timeout"}) == "first"
+        assert eval_rules_py(cfg, {"text": "ERROR: oom"}) == "second"
+
+
+class TestDryRun:
+    def test_golden_counters(self):
+        # analogue of versioned_test.go:259-302: 4 events → filtered=3,
+        # passed=1, rate=0.75, per-rule hits {2,1}
+        events = [
+            {"role": "tool", "tool": "search"},
+            {"role": "tool", "tool": "browser"},
+            {"text": "ERROR: timeout after 1ms"},
+            {"role": "user", "text": "hello"},
+        ]
+        res = dry_run(RULES, events)
+        assert res.total_events == 4
+        assert res.filtered_count == 3
+        assert res.passed_count == 1
+        assert res.filter_rate == pytest.approx(0.75)
+        assert res.rule_hits == {"r-tool-search": 2, "r-timeout": 1}
+
+
+class TestValidation:
+    def test_bad_semver(self):
+        with pytest.raises(RuleValidationError):
+            validate_config(
+                RuleConfig(rules=(Rule("a", (Match("x", "y"),)),), version="nope")
+            )
+
+    def test_duplicate_rule_names(self):
+        cfg = RuleConfig(
+            rules=(Rule("a", (Match("x", "y"),)), Rule("a", (Match("x", "z"),)))
+        )
+        with pytest.raises(RuleValidationError, match="duplicate"):
+            validate_config(cfg)
+
+    def test_empty_matches(self):
+        with pytest.raises(RuleValidationError, match="no matches"):
+            validate_config(RuleConfig(rules=(Rule("a", ()),)))
+
+    def test_invalid_regex(self):
+        with pytest.raises(RuleValidationError, match="invalid regex"):
+            validate_pattern("([unclosed", where="t")
+
+    def test_redos_rejected(self):
+        # rules.go:103-144: nested quantifiers rejected
+        for pat in ["(.*)+", "(a+)+", "(x*y*)*"]:
+            with pytest.raises(RuleValidationError, match="ReDoS"):
+                validate_pattern(pat, where="t")
+
+    def test_non_re2_rejected(self):
+        # SURVEY §4.4 dialect guard: lookaround/backrefs not in RE2
+        for pat in [r"(?=x)y", r"(a)\1", r"(?<!a)b"]:
+            with pytest.raises(RuleValidationError, match="RE2"):
+                validate_pattern(pat, where="t")
+
+    def test_field_path_syntax(self):
+        with pytest.raises(RuleValidationError, match="field path"):
+            validate_config(
+                RuleConfig(rules=(Rule("a", (Match("bad..path", "x"),)),))
+            )
+
+    def test_pattern_length_cap(self):
+        with pytest.raises(RuleValidationError, match="longer"):
+            validate_pattern("a" * 1001, where="t")
+
+    def test_good_config_passes(self):
+        validate_config(RULES)
