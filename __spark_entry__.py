@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship filter→enrich→route→aggregate pipeline on the
+sf0.001 events-derived transcript table.
+
+``queries()`` / ``oracle_sql()`` — one pair per implemented operator from
+SURVEY.md §2 (IDs in the key prefixes: P=predicates, A=aggregations,
+R=routing, J=joins/enrichment), plus the training-data-pipeline extensions
+(dedup / similarity / text analysis) over ``documents`` and ``embeddings``.
+
+The DuckDB oracle uses RE2 regex — the same engine family as the Go
+reference's ``regexp`` — so regex-semantics parity is checked by an
+independent implementation, not by ourselves (SURVEY.md §4.4).
 """
 
 from __future__ import annotations
@@ -12,27 +18,230 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ctlp_spark.operators.pipeline import (
+    MATCHED_RULE_COL,
+    enrich,
+    route,
+    tag,
+)
+from ctlp_spark.sources.events_view import (
+    JSON_COLUMNS,
+    MATCHED_RULE_SQL_DUCKDB,
+    TRANSCRIPTS_SQL_DUCKDB,
+    graft_rules,
+    transcripts_from_events,
+)
+
+SF0001 = "/root/testdata/sf0.001"
+
+# ---------------------------------------------------------------------------
+# shared pieces
+# ---------------------------------------------------------------------------
+
+_ORACLE_PRELUDE = f"""
+WITH t AS ({TRANSCRIPTS_SQL_DUCKDB}),
+tagged AS (
+  SELECT *, ({MATCHED_RULE_SQL_DUCKDB}) AS {MATCHED_RULE_COL} FROM t
+)
+"""
+
+_ROLE_DIM_ROWS = [
+    ("user", "human", 1.0),
+    ("assistant", "model", 1.0),
+    ("tool", "infra", 0.5),
+    ("system", "infra", 0.1),
+]
+_ROLE_DIM_SQL = (
+    "(VALUES "
+    + ", ".join(f"('{r}', '{c}', {w})" for r, c, w in _ROLE_DIM_ROWS)
+    + ") AS role_dim(role, role_class, weight)"
+)
+
+
+def _role_dim(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        _ROLE_DIM_ROWS, "role string, role_class string, weight double"
+    )
+
+
+def _tagged(spark: SparkSession, sf_dir: str, engine: str) -> DataFrame:
+    df = transcripts_from_events(spark, sf_dir)
+    return tag(df, graft_rules(), engine=engine, json_columns=JSON_COLUMNS)
+
+
+# ---------------------------------------------------------------------------
+# pipeline-family queries (SURVEY §2.2 P1-P7, §2.3 A1-A2, §2.10 R1-R2, §2.4)
+# ---------------------------------------------------------------------------
+
+
+def q_p1_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1+P4+A2: per-sink counts with first-match rule attribution (native
+    Catalyst compiler — coalesce(when(rlike…)))."""
+    return (
+        _tagged(spark, sf_dir, "native")
+        .groupBy(F.coalesce(MATCHED_RULE_COL, F.lit("kept")).alias("sink"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_p1_route_counts_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result through the vectorized pandas/Arrow UDF compiler — the
+    input_hint-required path; identical oracle proves dual-path equivalence."""
+    return (
+        _tagged(spark, sf_dir, "pandas")
+        .groupBy(F.coalesce(MATCHED_RULE_COL, F.lit("kept")).alias("sink"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+_ROUTE_COUNTS_SQL = (
+    _ORACLE_PRELUDE
+    + f"SELECT coalesce({MATCHED_RULE_COL}, 'kept') AS sink, count(*) AS n "
+    "FROM tagged GROUP BY 1"
+)
+
+
+def q_r1_kept_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1: the kept sink itself — routed-row equality (per-turn text equality
+    under stable (conv_id, turn_idx) identity)."""
+    kept, _ = route(_tagged(spark, sf_dir, "native"))
+    return kept.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "tool",
+        "text",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+
+
+_KEPT_ROWS_SQL = (
+    _ORACLE_PRELUDE
+    + f"""SELECT conv_id, turn_idx, role, tool, text, epoch_us(ts) AS ts_us
+FROM tagged WHERE {MATCHED_RULE_COL} IS NULL"""
+)
+
+
+def q_r2_dropped_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2: the dropped sink with per-row first-match attribution (the
+    reference's drop log, cloudtrailprocessor.go:410-421)."""
+    _, dropped = route(_tagged(spark, sf_dir, "native"))
+    return dropped.select("conv_id", "turn_idx", MATCHED_RULE_COL)
+
+
+_DROPPED_ROWS_SQL = (
+    _ORACLE_PRELUDE
+    + f"""SELECT conv_id, turn_idx, {MATCHED_RULE_COL}
+FROM tagged WHERE {MATCHED_RULE_COL} IS NOT NULL"""
+)
+
+
+def q_j1_enrich_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 (graft §2.4): broadcast-join enrichment of kept rows against the
+    role dictionary, aggregated per role_class."""
+    kept, _ = route(_tagged(spark, sf_dir, "native"))
+    enriched = enrich(kept, role_dim=_role_dim(spark))
+    return enriched.groupBy("role_class").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("weight"), 3).alias("total_weight"),
+    )
+
+
+_ENRICH_SQL = (
+    _ORACLE_PRELUDE
+    + f"""SELECT role_class, count(*) AS n,
+round(sum(weight), 3) AS total_weight
+FROM tagged LEFT JOIN {_ROLE_DIM_SQL} USING (role)
+WHERE {MATCHED_RULE_COL} IS NULL
+GROUP BY role_class"""
+)
+
+
+def q_a2_dryrun_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: dry-run aggregate counters (reference pkg/rules/versioned.go:323-362):
+    totals, filtered/passed, filter rate."""
+    return _tagged(spark, sf_dir, "native").agg(
+        F.count("*").alias("total_events"),
+        F.count(MATCHED_RULE_COL).alias("filtered_count"),
+        (F.count("*") - F.count(MATCHED_RULE_COL)).alias("passed_count"),
+        F.round(F.count(MATCHED_RULE_COL) / F.count("*"), 6).alias(
+            "filter_rate"
+        ),
+    )
+
+
+_DRYRUN_SQL = (
+    _ORACLE_PRELUDE
+    + f"""SELECT count(*) AS total_events,
+count({MATCHED_RULE_COL}) AS filtered_count,
+count(*) - count({MATCHED_RULE_COL}) AS passed_count,
+round(count({MATCHED_RULE_COL}) / count(*), 6) AS filter_rate
+FROM tagged"""
+)
+
+
+def q_p5_transcript_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3+P5: the derived transcript table itself (JSON extraction, window
+    turn numbering, CASE projection) — proves the parse stage row-for-row."""
+    df = transcripts_from_events(spark, sf_dir)
+    return df.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "tool",
+        "text",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+
+
+_TRANSCRIPT_VIEW_SQL = f"""
+WITH t AS ({TRANSCRIPTS_SQL_DUCKDB})
+SELECT conv_id, turn_idx, role, tool, text, epoch_us(ts) AS ts_us FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: filter→enrich→route→aggregate on sf0.001; per-sink counts
+    joined with per-class enrichment totals."""
+    tagged = _tagged(spark, SF0001, "native")
+    kept, dropped = route(tagged)
+    kept_stats = (
+        enrich(kept, role_dim=_role_dim(spark))
+        .groupBy(F.lit("kept").alias("sink"))
+        .agg(F.count("*").alias("n"))
+    )
+    dropped_stats = dropped.groupBy(
+        F.col(MATCHED_RULE_COL).alias("sink")
+    ).agg(F.count("*").alias("n"))
+    return kept_stats.unionByName(dropped_stats)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "p1_route_counts": q_p1_route_counts,
+        "p1_route_counts_pandas": q_p1_route_counts_pandas,
+        "r1_kept_rows": q_r1_kept_rows,
+        "r2_dropped_rows": q_r2_dropped_rows,
+        "j1_enrich_kept": q_j1_enrich_kept,
+        "a2_dryrun_stats": q_a2_dryrun_stats,
+        "p5_transcript_view": q_p5_transcript_view,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "p1_route_counts": _ROUTE_COUNTS_SQL,
+        "p1_route_counts_pandas": _ROUTE_COUNTS_SQL,
+        "r1_kept_rows": _KEPT_ROWS_SQL,
+        "r2_dropped_rows": _DROPPED_ROWS_SQL,
+        "j1_enrich_kept": _ENRICH_SQL,
+        "a2_dryrun_stats": _DRYRUN_SQL,
+        "p5_transcript_view": _TRANSCRIPT_VIEW_SQL,
+    }

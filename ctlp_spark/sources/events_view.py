@@ -1,0 +1,133 @@
+"""Transcript view over the driver's ``events`` table.
+
+The authoritative input shape (BASELINE.json input_hint) is
+``(conv_id:string, turn_idx:int32, role:string, text:string, tool:string,
+ts:timestamp)``. The driver's oracle (DuckDB) only knows the ten testdata
+tables, so for oracle-checked queries we derive a transcript table
+**deterministically** from ``events`` — the same derivation expressed once as
+a SQL template and rendered for both engines (Spark SQL and DuckDB dialects
+differ only in JSON extraction and epoch-micros functions).
+
+The derivation is designed to exercise every rule-engine semantic from the
+reference (SURVEY.md §1.4):
+
+* ``role='tool'`` rows with tool in a regex class  → conjunction rules
+  (the analogue of ``eventSource ~ ec2.*``, cloudtrailprocessor_test.go:47-71)
+* ``ERROR: timeout`` texts that ALSO satisfy rule 1 on even k → first-match
+  attribution order (pkg/rules/cached.go:122-133)
+* JSON-bearing ``text`` rows → dot-path rules via ``text_json.action``
+  (pkg/utils/utils.go:70-99)
+* NULL texts (view, k%7=0) → missing-field-keeps (cached.go:154-157)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ctlp_spark.rules import RuleConfig, load_rules
+
+# One source of truth for the derivation; rendered per engine below.
+_TRANSCRIPTS_TEMPLATE = """
+WITH ev AS (
+  SELECT event_id, ts, user_id, event_type,
+         {json_k} AS k,
+         CAST({json_k} AS BIGINT) AS k_int
+  FROM events
+)
+SELECT
+  'conv-' || CAST(user_id AS STRING) AS conv_id,
+  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+       AS INT) AS turn_idx,
+  CASE event_type
+    WHEN 'click' THEN 'user'
+    WHEN 'view' THEN 'user'
+    WHEN 'purchase' THEN 'assistant'
+    WHEN 'error' THEN 'tool'
+    WHEN 'signup' THEN 'system'
+  END AS role,
+  CASE event_type
+    WHEN 'error' THEN 'ERROR: timeout after ' || k || 'ms'
+    WHEN 'purchase' THEN 'here is the summary of order ' || k
+    WHEN 'signup' THEN
+      CASE WHEN k_int % 3 = 0
+           THEN 'You are a helpful assistant for topic ' || k
+           ELSE 'welcome aboard user ' || k END
+    WHEN 'click' THEN
+      '{{"action":"' || CASE WHEN k_int % 2 = 0 THEN 'search' ELSE 'browse' END
+      || '","params":{{"q":"' || k || '"}}}}'
+    WHEN 'view' THEN
+      CASE WHEN k_int % 7 = 0 THEN CAST(NULL AS STRING)
+           ELSE 'viewing item ' || k END
+  END AS text,
+  CASE WHEN event_type = 'error' THEN
+    CASE WHEN k_int % 2 = 0 THEN 'search' ELSE 'python' END
+  END AS tool,
+  ts
+FROM ev
+"""
+
+TRANSCRIPTS_SQL_SPARK = _TRANSCRIPTS_TEMPLATE.format(
+    json_k="get_json_object(props, '$.k')"
+)
+TRANSCRIPTS_SQL_DUCKDB = _TRANSCRIPTS_TEMPLATE.format(
+    json_k="json_extract_string(props, '$.k')"
+)
+
+# Rule fixture over the derived transcripts. Order is semantic: even-k error
+# rows match BOTH drop-tool-search and drop-timeouts; first-match must
+# attribute them to drop-tool-search. Rule 5 references a column that does
+# not exist — missing field ⇒ the rule can never fire (kept).
+GRAFT_RULES_YAML = """\
+version: 1.0.0
+meta: {description: graft rules over events-derived transcripts}
+rules:
+  - name: drop-tool-search
+    matches:
+      - {field_name: role, regex: "^tool$"}
+      - {field_name: tool, regex: "^(search|browser)$"}
+  - name: drop-timeouts
+    matches:
+      - {field_name: text, regex: "ERROR: timeout"}
+  - name: drop-system-boilerplate
+    matches:
+      - {field_name: role, regex: "^system$"}
+      - {field_name: text, regex: "^You are"}
+  - name: drop-json-action
+    matches:
+      - {field_name: text_json.action, regex: "^search$"}
+  - name: drop-never-missing-field
+    matches:
+      - {field_name: no_such_column, regex: "^anything$"}
+"""
+
+JSON_COLUMNS = {"text_json": "text"}
+
+
+def graft_rules() -> RuleConfig:
+    return load_rules(GRAFT_RULES_YAML)
+
+
+# The same first-match attribution, hand-written for the DuckDB oracle
+# (regexp_matches is RE2 — the same engine family as Go's regexp, SURVEY §4.4).
+# NULL-propagation through AND makes missing/NULL fields fall through each
+# WHEN, exactly the reference's missing-field-keeps semantics.
+MATCHED_RULE_SQL_DUCKDB = """
+CASE
+  WHEN regexp_matches(role, '^tool$')
+   AND regexp_matches(tool, '^(search|browser)$') THEN 'drop-tool-search'
+  WHEN regexp_matches(text, 'ERROR: timeout') THEN 'drop-timeouts'
+  WHEN regexp_matches(role, '^system$')
+   AND regexp_matches(text, '^You are') THEN 'drop-system-boilerplate'
+  WHEN json_valid(text)
+   AND regexp_matches(json_extract_string(text, '$.action'), '^search$')
+       THEN 'drop-json-action'
+END
+"""
+
+
+def transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load events.parquet and derive the authoritative transcript shape."""
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView(
+        "events"
+    )
+    return spark.sql(TRANSCRIPTS_SQL_SPARK)

@@ -1,0 +1,86 @@
+"""Local twin of the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry at sf0.001 and compares it to
+its ``oracle_sql()`` twin through DuckDB: row count, column names, and an
+order-insensitive canonical value compare. Mirrors the driver's
+CORRECTNESS_r{N}.json check so mismatches are caught in-repo first.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def _canon_value(v) -> str:
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.6g}"
+    if isinstance(v, bool):
+        return str(bool(v)).lower()
+    return str(v)
+
+
+def _canon(df_pandas) -> tuple[list[str], list[tuple[str, ...]]]:
+    cols = sorted(df_pandas.columns)
+    rows = [
+        tuple(_canon_value(v) for v in row)
+        for row in df_pandas[cols].itertuples(index=False, name=None)
+    ]
+    return cols, sorted(rows)
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.queries()))
+def test_query_matches_oracle(name, spark, duck):
+    q = entrymod.queries()[name]
+    sql = entrymod.oracle_sql().get(name)
+    spark_df = q(spark, SF_DIR)
+    got_pd = spark_df.toPandas()
+    if sql is None:
+        assert len(got_pd) >= 0  # rows-only check (non-SQL-expressible op)
+        return
+    exp_pd = duck.sql(sql).df()
+    # pandas NaN → None normalization
+    got_pd = got_pd.astype(object).where(got_pd.notna(), None)
+    exp_pd = exp_pd.astype(object).where(exp_pd.notna(), None)
+    got_cols, got_rows = _canon(got_pd)
+    exp_cols, exp_rows = _canon(exp_pd)
+    assert got_cols == exp_cols, f"{name}: column mismatch"
+    assert len(got_rows) == len(exp_rows), (
+        f"{name}: row count {len(got_rows)} != oracle {len(exp_rows)}"
+    )
+    mism = [
+        (g, e) for g, e in zip(got_rows, exp_rows) if g != e
+    ]
+    assert not mism, f"{name}: {len(mism)} mismatching rows; first: {mism[:3]}"
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 1
+    assert set(df.columns) == {"sink", "n"}
