@@ -1,0 +1,231 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Measures the north-rule metric: turns/sec of the filter→enrich→route
+pipeline over the authoritative transcript table, at two parallelism levels
+(local[N] and local[4N]) on the SAME input, reporting throughput at both and
+the scaling efficiency thr_4N / (4 · thr_N) — the sandbox stand-in for an
+N-vs-4N-executor cluster (BASELINE.json north_rule).
+
+Methodology (this host is a noisy VM — single measurements swing ±40%):
+* each parallelism level runs in its own child process (fresh JVM; a local
+  master can't be resized live);
+* ParallelGC (see ctlp_spark.session) — G1 contends badly at 32 threads;
+* 1 warm-up + 3 timed pipeline iterations per level, median reported;
+* sinks on /dev/shm (memory-backed) so the virtual disk doesn't serialize
+  concurrent writers — a stand-in for a distributed object store;
+* rule JSON paths use the grok-style regex extractor (json_extractor=
+  "regex"), the contention-free scale path; equivalence with
+  get_json_object is tested in tests/test_compile.py.
+
+Also times the headline oracle-checked queries from ``__spark_entry__`` at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1).
+
+Output: {"metric", "value" (sec, median flagship at 4N), "unit": "sec",
+"queries": {name: sec}, "sf", "turns_per_sec", "scaling": {...}}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import statistics
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+CACHE_ROOT = os.environ.get("CTLP_BENCH_CACHE", "/tmp/ctlp_bench")
+ITERS = int(os.environ.get("CTLP_BENCH_ITERS", "3"))
+
+
+def _shm_dir() -> str:
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    d = os.path.join(base, "ctlp_bench_out")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _sf() -> float:
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    return float(m.group(1).rstrip(".")) if m else 0.1
+
+
+def _bench_rows() -> int:
+    # 5M turns at sf0.1, linear in sf, floor at 50k
+    env = os.environ.get("CTLP_BENCH_ROWS")
+    if env:
+        return int(env)
+    return max(50_000, int(5_000_000 * _sf() / 0.1))
+
+
+def _data_dir(n_rows: int) -> str:
+    """Generate (once, cached) the deterministic transcript corpus as 32
+    parquet files so every core gets input splits at any tested parallelism."""
+    d = os.path.join(CACHE_ROOT, f"transcripts_{n_rows}")
+    done = os.path.join(d, "_DONE")
+    if os.path.exists(done):
+        return d
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ctlp_spark.gen import ARROW_SCHEMA, gen_transcripts
+
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    pdf = gen_transcripts(n_rows, seed=42, skew=True)
+    files = 32
+    step = (len(pdf) + files - 1) // files
+    for i in range(files):
+        chunk = pdf.iloc[i * step : (i + 1) * step]
+        if len(chunk) == 0:
+            break
+        tbl = pa.Table.from_pandas(chunk, schema=ARROW_SCHEMA, preserve_index=False)
+        pq.write_table(tbl, os.path.join(d, f"part-{i:05d}.parquet"))
+    with open(done, "w") as fh:
+        fh.write(str(n_rows))
+    return d
+
+
+def _child_pipeline(cpus: int, data_dir: str) -> None:
+    """Run the flagship pipeline (warm + ITERS timed) at local[cpus]; print
+    one JSON line with the median."""
+    from ctlp_spark.gen import JSON_COLUMNS, default_rules, role_dim_pdf, tool_dim_pdf
+    from ctlp_spark.operators.pipeline import MATCHED_RULE_COL, enrich, route, tag
+    from ctlp_spark.session import get_spark
+
+    out_dir = os.path.join(_shm_dir(), f"run{cpus}")
+    spark = get_spark(app_name=f"bench-{cpus}", cpus=cpus,
+                      shuffle_partitions=max(cpus, 8))
+    cfg = default_rules()
+    role_dim = spark.createDataFrame(role_dim_pdf())
+    tool_dim = spark.createDataFrame(tool_dim_pdf())
+    df = spark.read.parquet(data_dir)
+    n_rows = df.count()
+
+    def run_once() -> float:
+        t0 = time.perf_counter()
+        tagged = tag(df, cfg, engine="native", json_columns=JSON_COLUMNS,
+                     json_extractor="regex")
+        kept, dropped = route(tagged)
+        enrich(kept, role_dim=role_dim, tool_dim=tool_dim).write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/kept")
+        (
+            dropped.write.mode("overwrite")
+            .partitionBy(MATCHED_RULE_COL)
+            .parquet(f"{out_dir}/dropped")
+        )
+        return time.perf_counter() - t0
+
+    run_once()  # warm-up: codegen + JIT + page cache
+    times = [run_once() for _ in range(ITERS)]
+    med = statistics.median(times)
+
+    # pandas-UDF engine pass (aggregate only — the vectorized parity path)
+    t1 = time.perf_counter()
+    (
+        tag(df, cfg, engine="pandas", json_columns=JSON_COLUMNS,
+            json_extractor="regex")
+        .groupBy(MATCHED_RULE_COL)
+        .count()
+        .collect()
+    )
+    pandas_elapsed = time.perf_counter() - t1
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    print(json.dumps({
+        "cpus": cpus,
+        "rows": n_rows,
+        "pipeline_sec": round(med, 3),
+        "pipeline_sec_all": [round(t, 3) for t in times],
+        "pipeline_turns_per_sec": round(n_rows / med, 1),
+        "pandas_tag_sec": round(pandas_elapsed, 3),
+    }))
+    spark.stop()
+
+
+def _child_queries() -> None:
+    """Time the headline oracle queries at full parallelism; one JSON line.
+    Results are fully materialized to a memory-backed parquet sink."""
+    import __spark_entry__ as entrymod
+
+    from ctlp_spark.session import get_spark
+
+    sink = os.path.join(_shm_dir(), "qsink")
+    spark = get_spark(app_name="bench-queries", cpus=CPUS,
+                      shuffle_partitions=max(CPUS, 8))
+    out: dict[str, float] = {}
+    for name, fn in entrymod.queries().items():
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.mode("overwrite").parquet(sink)
+        out[name] = round(time.perf_counter() - t0, 3)
+    shutil.rmtree(sink, ignore_errors=True)
+    print(json.dumps(out))
+    spark.stop()
+
+
+def _run_child(args: list[str]) -> dict:
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), *args],
+        capture_output=True, text=True, timeout=3600,
+    )
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stderr[-4000:])
+        raise RuntimeError(f"bench child {args} failed")
+    for line in reversed(proc.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"no JSON from child {args}: {proc.stdout[-500:]}")
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--child-pipeline":
+        _child_pipeline(int(sys.argv[2]), sys.argv[3])
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--child-queries":
+        _child_queries()
+        return
+
+    n_rows = _bench_rows()
+    data_dir = _data_dir(n_rows)
+    n_small = max(1, CPUS // 4)
+
+    small = _run_child(["--child-pipeline", str(n_small), data_dir])
+    big = _run_child(["--child-pipeline", str(CPUS), data_dir])
+    queries = _run_child(["--child-queries"])
+
+    thr_small = small["pipeline_turns_per_sec"]
+    thr_big = big["pipeline_turns_per_sec"]
+    efficiency = thr_big / (4.0 * thr_small)
+
+    queries = dict(queries)
+    queries[f"pipeline_local{n_small}"] = small["pipeline_sec"]
+    queries[f"pipeline_local{CPUS}"] = big["pipeline_sec"]
+    queries["pipeline_pandas_tag"] = big["pandas_tag_sec"]
+
+    print(json.dumps({
+        "metric": "filter_enrich_route_pipeline_sec",
+        "value": big["pipeline_sec"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": _sf(),
+        "bench_rows": n_rows,
+        "turns_per_sec": thr_big,
+        "scaling": {
+            "n_cores": n_small,
+            "n4_cores": CPUS,
+            "turns_per_sec_n": thr_small,
+            "turns_per_sec_4n": thr_big,
+            "efficiency": round(efficiency, 3),
+            "raw_sec_n": small["pipeline_sec_all"],
+            "raw_sec_4n": big["pipeline_sec_all"],
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

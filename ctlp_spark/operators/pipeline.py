@@ -31,6 +31,7 @@ def tag(
     cfg: RuleConfig,
     engine: str = "native",
     json_columns: dict[str, str] | None = None,
+    json_extractor: str = "native",
 ) -> DataFrame:
     """Add the nullable ``matched_rule`` attribution column (P4 in SURVEY §2.2).
 
@@ -39,9 +40,9 @@ def tag(
     Both produce identical attributions (tested in test_compile.py).
     """
     if engine == "native":
-        col = matched_rule_native(df, cfg, json_columns)
+        col = matched_rule_native(df, cfg, json_columns, json_extractor)
     elif engine == "pandas":
-        col = matched_rule_pandas(df, cfg, json_columns)
+        col = matched_rule_pandas(df, cfg, json_columns, json_extractor)
     else:
         raise ValueError(f"unknown engine {engine!r} (native|pandas)")
     return df.withColumn(MATCHED_RULE_COL, col)

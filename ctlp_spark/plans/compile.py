@@ -72,9 +72,25 @@ def resolve_field(
     df: DataFrame,
     field_name: str,
     json_columns: dict[str, str] | None = None,
+    json_extractor: str = "native",
 ) -> Column | None:
     """Resolve a rule field path to a STRING Column, or None if the
-    condition can never hold (missing field / non-string leaf)."""
+    condition can never hold (missing field / non-string leaf).
+
+    ``json_extractor`` picks the JSON dot-path implementation:
+
+    * ``"native"`` — ``get_json_object`` (full JSON semantics; the default
+      and the oracle-checked path);
+    * ``"regex"`` — grok-style ``regexp_extract`` of ``"key":"value"``,
+      gated on a '{' prefix, for SINGLE-segment paths over flat,
+      escape-free JSON (the generated-transcript shape). Chosen because
+      Jackson-backed get_json_object suffers heavy multi-thread contention
+      in a single JVM (measured 3-14× task-CPU inflation at 32 threads),
+      while regexp_extract scales cleanly; the north-star pipeline is
+      explicitly grok/regex-based. Multi-segment paths fall back to
+      ``get_json_object``. Equivalence on the fixture corpus is tested
+      (test_compile.py).
+    """
     json_columns = json_columns or {}
     parts = field_name.split(".")
     head, rest = parts[0], parts[1:]
@@ -83,6 +99,14 @@ def resolve_field(
         src = json_columns[head]
         if src not in df.columns:
             return None
+        if json_extractor == "regex" and len(rest) == 1:
+            key = re.escape(rest[0])
+            extracted = F.regexp_extract(
+                F.col(src), f'"{key}"\\s*:\\s*"([^"]*)"', 1
+            )
+            return F.when(
+                F.col(src).startswith("{") & (extracted != ""), extracted
+            )
         return F.get_json_object(F.col(src), "$." + ".".join(rest))
 
     leaf = _struct_leaf_type(df.schema, parts)
@@ -98,6 +122,7 @@ def matched_rule_native(
     df: DataFrame,
     cfg: RuleConfig,
     json_columns: dict[str, str] | None = None,
+    json_extractor: str = "native",
 ) -> Column:
     """First-match rule attribution as a native Catalyst expression.
 
@@ -111,7 +136,7 @@ def matched_rule_native(
         conds: list[Column] = []
         impossible = False
         for m in rule.matches:
-            col = resolve_field(df, m.field_name, json_columns)
+            col = resolve_field(df, m.field_name, json_columns, json_extractor)
             if col is None:
                 impossible = True
                 break
@@ -129,6 +154,7 @@ def matched_rule_pandas(
     df: DataFrame,
     cfg: RuleConfig,
     json_columns: dict[str, str] | None = None,
+    json_extractor: str = "native",
 ) -> Column:
     """First-match rule attribution as a vectorized pandas/Arrow UDF.
 
@@ -140,7 +166,7 @@ def matched_rule_pandas(
     """
     fields = cfg.field_names()
     resolved: dict[str, Column | None] = {
-        f: resolve_field(df, f, json_columns) for f in fields
+        f: resolve_field(df, f, json_columns, json_extractor) for f in fields
     }
     # Inputs to the UDF: one string column per referenced field; unresolvable
     # fields become NULL literals (condition can never hold).

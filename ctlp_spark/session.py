@@ -36,6 +36,18 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("CTLP_DRIVER_MEM", "16g"))
+        # ParallelGC: G1's concurrent cycles contend pathologically with
+        # 32 task threads in one local-mode JVM on this virtualized host
+        # (measured 3-14× task-CPU inflation); throughput GC with a capped
+        # thread count removes it. On a real multi-executor cluster each
+        # executor JVM is smaller and G1 is fine — this is local-mode tuning.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "CTLP_DRIVER_JAVA_OPTS",
+                "-XX:+UseParallelGC -XX:ParallelGCThreads=8",
+            ),
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -147,3 +147,28 @@ def test_struct_column_dotpath(spark, engine):
     # missing leaf → never matches
     ghost = RuleConfig(rules=(Rule("g", (Match("meta.user.ghost", ".*"),)),))
     assert all(r["matched_rule"] is None for r in tag(df, ghost, engine).collect())
+
+
+def test_regex_json_extractor_equivalence(spark, transcripts):
+    """The grok-style regexp_extract JSON path (bench fast path) must agree
+    with get_json_object on the fixture corpus (flat, escape-free JSON)."""
+    from ctlp_spark.gen import JSON_COLUMNS, default_rules
+    from ctlp_spark.operators.pipeline import MATCHED_RULE_COL, tag
+
+    cfg = default_rules()
+    native = tag(transcripts, cfg, "native", JSON_COLUMNS, json_extractor="native")
+    rex = tag(transcripts, cfg, "native", JSON_COLUMNS, json_extractor="regex")
+    diff = (
+        native.select("conv_id", "turn_idx", MATCHED_RULE_COL)
+        .exceptAll(rex.select("conv_id", "turn_idx", MATCHED_RULE_COL))
+        .count()
+    )
+    assert diff == 0
+    # pandas engine with regex extractor agrees too
+    rex_pd = tag(transcripts, cfg, "pandas", JSON_COLUMNS, json_extractor="regex")
+    diff2 = (
+        native.select("conv_id", "turn_idx", MATCHED_RULE_COL)
+        .exceptAll(rex_pd.select("conv_id", "turn_idx", MATCHED_RULE_COL))
+        .count()
+    )
+    assert diff2 == 0
