@@ -203,6 +203,156 @@ SELECT conv_id, turn_idx, role, tool, text, epoch_us(ts) AS ts_us FROM t
 
 
 # ---------------------------------------------------------------------------
+# text-analysis queries (training-data pipeline extensions, documents table)
+# ---------------------------------------------------------------------------
+
+
+def q_t1_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish), stopword/diversity ratios and
+    composite quality score — all JVM-side column expressions."""
+    from ctlp_spark.functions import text as X
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        X.token_count(c).cast("bigint").alias("n_tokens"),
+        X.bpe_ish_token_count(c).cast("bigint").alias("n_bpe_tokens"),
+        X.n_stopword_tokens(c).cast("bigint").alias("n_stop"),
+        X.n_distinct_tokens(c).cast("bigint").alias("n_distinct"),
+        X.quality_ppm(c).cast("bigint").alias("quality_ppm"),
+    )
+
+
+def _t1_sql() -> str:
+    from ctlp_spark.functions import text as X
+
+    t = "text"
+    return f"""SELECT doc_id,
+CAST({X.SQL_TOKEN_COUNT.format(t=t)} AS BIGINT) AS n_tokens,
+CAST({X.SQL_BPE_COUNT.format(t=t)} AS BIGINT) AS n_bpe_tokens,
+CAST({X.SQL_N_STOP.format(t=t)} AS BIGINT) AS n_stop,
+CAST({X.SQL_N_DISTINCT.format(t=t)} AS BIGINT) AS n_distinct,
+CAST({X.SQL_QUALITY_PPM.format(t=t)} AS BIGINT) AS quality_ppm
+FROM documents"""
+
+
+def q_t2_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-based language ID, aggregated to predicted-language counts."""
+    from ctlp_spark.functions import text as X
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.select(X.lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _t2_sql() -> str:
+    from ctlp_spark.functions import text as X
+
+    return (
+        f"SELECT {X.sql_lang_id('text')} AS lang_pred, count(*) AS n "
+        "FROM documents GROUP BY 1"
+    )
+
+
+def q_t3_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: md5 of normalized text (exact-dup key) and an
+    order-sensitive polynomial rolling hash over tokens."""
+    from ctlp_spark.functions import text as X
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        X.fingerprint_md5(c).alias("fp_md5"),
+        X.rolling_fingerprint(c).alias("fp_rolling"),
+    )
+
+
+def _t3_sql() -> str:
+    from ctlp_spark.functions import text as X
+
+    t = "text"
+    return f"""SELECT doc_id,
+{X.SQL_FINGERPRINT.format(t=t)} AS fp_md5,
+{X.SQL_ROLLING_FP.format(t=t)} AS fp_rolling
+FROM documents"""
+
+
+# ---------------------------------------------------------------------------
+# dedup queries (training-data pipeline extensions, documents table)
+# ---------------------------------------------------------------------------
+
+
+def q_d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: per-doc canonical decision over normalized-text
+    fingerprint groups (hash groupBy/window — one shuffle)."""
+    from ctlp_spark.functions import dedup as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return D.exact_dedup(docs)
+
+
+def q_d2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (shingle self-join; at 100 TB
+    this runs on LSH candidates only — see d4)."""
+    from ctlp_spark.functions import dedup as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return D.ngram_jaccard_pairs(docs)
+
+
+def q_d3_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (12 affine min-hashes over md5-hashed shingles) —
+    bit-identical across engines by construction."""
+    from ctlp_spark.functions import dedup as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return D.minhash_signatures(docs)
+
+
+def q_d4_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH candidate pairs (3 bands × 4 rows) — the linear-time
+    blocking step that replaces the quadratic self-join at scale."""
+    from ctlp_spark.functions import dedup as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return D.lsh_candidate_pairs(docs)
+
+
+def q_d5_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash signature per document."""
+    from ctlp_spark.functions import dedup as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return D.simhash(docs)
+
+
+def q_d6_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 8-bit-chunk banding then exact hamming ≤ 3."""
+    from ctlp_spark.functions import dedup as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return D.simhash_near_pairs(docs)
+
+
+def _dedup_sql(kind: str) -> str:
+    from ctlp_spark.functions import dedup as D
+
+    return {
+        "exact": D.sql_exact_dedup(),
+        "jaccard": D.sql_ngram_jaccard_pairs(),
+        "minhash": D.sql_minhash_signatures(),
+        "lsh": D.sql_lsh_candidate_pairs(),
+        "simhash": D.sql_simhash(),
+        "simhash_near": D.sql_simhash_near_pairs(),
+    }[kind]
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -232,6 +382,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j1_enrich_kept": q_j1_enrich_kept,
         "a2_dryrun_stats": q_a2_dryrun_stats,
         "p5_transcript_view": q_p5_transcript_view,
+        "t1_text_stats": q_t1_text_stats,
+        "t2_lang_id": q_t2_lang_id,
+        "t3_fingerprints": q_t3_fingerprints,
+        "d1_exact_dedup": q_d1_exact_dedup,
+        "d2_ngram_jaccard": q_d2_ngram_jaccard,
+        "d3_minhash_signatures": q_d3_minhash_signatures,
+        "d4_lsh_candidates": q_d4_lsh_candidates,
+        "d5_simhash": q_d5_simhash,
+        "d6_simhash_near": q_d6_simhash_near,
     }
 
 
@@ -244,4 +403,13 @@ def oracle_sql() -> dict[str, str]:
         "j1_enrich_kept": _ENRICH_SQL,
         "a2_dryrun_stats": _DRYRUN_SQL,
         "p5_transcript_view": _TRANSCRIPT_VIEW_SQL,
+        "t1_text_stats": _t1_sql(),
+        "t2_lang_id": _t2_sql(),
+        "t3_fingerprints": _t3_sql(),
+        "d1_exact_dedup": _dedup_sql("exact"),
+        "d2_ngram_jaccard": _dedup_sql("jaccard"),
+        "d3_minhash_signatures": _dedup_sql("minhash"),
+        "d4_lsh_candidates": _dedup_sql("lsh"),
+        "d5_simhash": _dedup_sql("simhash"),
+        "d6_simhash_near": _dedup_sql("simhash_near"),
     }

@@ -1,0 +1,3 @@
+"""Training-data pipeline functions: text analysis, dedup, similarity,
+multimodal plumbing — the scale-path extensions beyond the reference's
+operator surface (SURVEY.md §2 graft extensions)."""

@@ -1,0 +1,378 @@
+"""Deduplication operators over the documents table.
+
+Four families, each Spark-first and each with an exact SQL twin for the
+DuckDB oracle (shared deterministic md5-based hashing so both engines
+produce bit-identical signatures):
+
+* exact       — normalized-text fingerprint groups (hash groupBy);
+* n-gram Jaccard — shingle self-join with exact intersection/union counts
+  (the ground-truth near-dup measure; quadratic in colliding docs, so at
+  100 TB it runs AFTER MinHash-LSH blocking, never on the full corpus);
+* MinHash+LSH — shingle → K min-hashes → B banded buckets → candidate
+  pairs via bucket join. Linear-ish; the scale path;
+* SimHash     — BITS-wide sign-of-weighted-sum signature + banded hamming
+  candidate pairs.
+
+All hot paths are native Catalyst expressions (explode / groupBy / join);
+no Python in the loop. Shuffles are by shingle / band-key / doc_id — at
+10^12 scale these are the unavoidable exchange points, and band keys are
+md5-uniform so they do not skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ctlp_spark.functions.text import fingerprint_md5, norm_text
+
+P = 2_147_483_647  # 2^31-1 (prime); keeps A*h+B < 2^62 in bigint
+NUM_HASHES = 12
+BANDS = 3  # 4 rows per band
+ROWS_PER_BAND = NUM_HASHES // BANDS
+# deterministic affine coefficients (A_i odd, < P)
+HASH_AB = [(2 * i + 3, 7 * i + 1) for i in range(NUM_HASHES)]
+SIMHASH_BITS = 32
+SIM_BANDS = 4  # 8-bit chunks for the hamming candidate join
+
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+
+def shingles(col, n: int = 3):
+    """Distinct word n-gram shingles of the normalized text (array<string>).
+    Documents shorter than n tokens yield a single whole-text shingle so
+    they still participate in dedup."""
+    toks = F.split(norm_text(col), " ")
+    k = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.array_distinct(grams)
+
+
+def sql_shingles(t: str, n: int = 3) -> str:
+    from ctlp_spark.functions.text import SQL_NORM
+
+    norm = SQL_NORM.format(t=t)
+    return (
+        f"list_distinct(list_transform("
+        f"generate_series(1, greatest(len(string_split({norm}, ' ')) - {n - 1}, 1)), "
+        f"i -> array_to_string(string_split({norm}, ' ')[i:i+{n - 1}], ' ')))"
+    )
+
+
+def shingle_hash(col):
+    """60-bit md5 hash of a shingle reduced mod P — identical in DuckDB via
+    CAST(('0x'||substr(md5(s),1,15)) AS BIGINT) % P."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint") % P
+    )
+
+
+SQL_SHINGLE_HASH = f"(CAST(('0x' || substr(md5({{x}}), 1, 15)) AS BIGINT) % {P})"
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc keep/drop decision: the lowest id in each normalized-text
+    fingerprint group is canonical. One hash-shuffle on the fingerprint."""
+    fp = fingerprint_md5(F.col(text_col)).alias("fp")
+    w = Window.partitionBy("fp")
+    return (
+        docs.select(F.col(id_col), fp)
+        .withColumn("keep_id", F.min(id_col).over(w))
+        .withColumn("group_size", F.count("*").over(w))
+        .select(
+            id_col,
+            "fp",
+            "keep_id",
+            "group_size",
+            (F.col(id_col) == F.col("keep_id")).alias("is_canonical"),
+        )
+    )
+
+
+def sql_exact_dedup(t: str = "documents") -> str:
+    from ctlp_spark.functions.text import SQL_FINGERPRINT
+
+    fp = SQL_FINGERPRINT.format(t="text")
+    return f"""
+WITH f AS (SELECT doc_id, {fp} AS fp FROM {t})
+SELECT doc_id, fp,
+       min(doc_id) OVER (PARTITION BY fp) AS keep_id,
+       count(*) OVER (PARTITION BY fp) AS group_size,
+       doc_id = min(doc_id) OVER (PARTITION BY fp) AS is_canonical
+FROM f"""
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard pairs
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold_ppm: int = 300_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact Jaccard-similar pairs via shingle self-join. Outputs exact
+    integer intersection/union sizes plus jaccard in ppm (integer division —
+    engine-independent). At 100 TB this runs on LSH candidates only."""
+    sh = docs.select(
+        F.col(id_col).alias("doc"), F.explode(shingles(F.col(text_col), n)).alias("sh")
+    )
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), on="sh")
+        .where(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn("union_sz", F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        .withColumn(
+            "jaccard_ppm",
+            F.floor((F.col("inter") * 1_000_000) / F.col("union_sz")).cast("bigint"),
+        )
+        .where(F.col("jaccard_ppm") >= threshold_ppm)
+        .select("doc_a", "doc_b", "inter", "union_sz", "jaccard_ppm")
+    )
+
+
+def sql_ngram_jaccard_pairs(
+    t: str = "documents", n: int = 3, threshold_ppm: int = 300_000
+) -> str:
+    return f"""
+WITH sh AS (
+  SELECT doc_id AS doc, unnest({sql_shingles('text', n)}) AS sh FROM {t}
+),
+sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc),
+pairs AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b USING (sh)
+  WHERE a.doc < b.doc
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter,
+       sa.sz + sb.sz - inter AS union_sz,
+       CAST(floor((inter * 1000000) / (sa.sz + sb.sz - inter)) AS BIGINT) AS jaccard_ppm
+FROM pairs
+JOIN sizes sa ON sa.doc = doc_a
+JOIN sizes sb ON sb.doc = doc_b
+WHERE CAST(floor((inter * 1000000) / (sa.sz + sb.sz - inter)) AS BIGINT) >= {threshold_ppm}"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """K min-hash values per doc: one explode + one groupBy with K min aggs
+    (map-side partial aggregation keeps the shuffle tiny)."""
+    sh = docs.select(
+        F.col(id_col).alias("doc"), F.explode(shingles(F.col(text_col), n)).alias("s")
+    ).select("doc", shingle_hash(F.col("s")).alias("h"))
+    aggs = [
+        F.min((F.col("h") * a + b) % P).alias(f"mh{i}")
+        for i, (a, b) in enumerate(HASH_AB)
+    ]
+    return sh.groupBy("doc").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Banded-LSH candidate pairs: equal band-key (md5 of ROWS_PER_BAND
+    consecutive min-hashes) in any band. The join key (band_idx, band_key)
+    is md5-uniform — no skew at scale."""
+    sig = minhash_signatures(docs, n, id_col, text_col)
+    bands = sig.select(
+        "doc",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(bi).alias("band_idx"),
+                    F.md5(
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.col(f"mh{bi * ROWS_PER_BAND + r}")
+                                for r in range(ROWS_PER_BAND)
+                            ],
+                        )
+                    ).alias("band_key"),
+                )
+                for bi in range(BANDS)
+            ])
+        ).alias("b"),
+    ).select("doc", "b.band_idx", "b.band_key")
+    return (
+        bands.alias("x")
+        .join(bands.alias("y"), on=["band_idx", "band_key"])
+        .where(F.col("x.doc") < F.col("y.doc"))
+        .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def _sql_minhash_cte(t: str, n: int) -> str:
+    mins = ", ".join(
+        f"min((h * {a} + {b}) % {P}) AS mh{i}" for i, (a, b) in enumerate(HASH_AB)
+    )
+    return f"""
+sh AS (
+  SELECT doc_id AS doc, {SQL_SHINGLE_HASH.format(x='s')} AS h
+  FROM (SELECT doc_id, unnest({sql_shingles('text', n)}) AS s FROM {t})
+),
+sig AS (SELECT doc, {mins} FROM sh GROUP BY doc)"""
+
+
+def sql_minhash_signatures(t: str = "documents", n: int = 3) -> str:
+    cols = ", ".join(f"mh{i}" for i in range(NUM_HASHES))
+    return f"WITH {_sql_minhash_cte(t, n)} SELECT doc, {cols} FROM sig"
+
+
+def sql_lsh_candidate_pairs(t: str = "documents", n: int = 3) -> str:
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc, {bi} AS band_idx, md5(concat_ws('_', "
+        + ", ".join(f"mh{bi * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+        + ")) AS band_key FROM sig"
+        for bi in range(BANDS)
+    )
+    return f"""
+WITH {_sql_minhash_cte(t, n)},
+bands AS ({band_rows})
+SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
+FROM bands x JOIN bands y USING (band_idx, band_key)
+WHERE x.doc < y.doc"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """SIMHASH_BITS-wide signature: bit j set iff the sum over distinct
+    tokens of ±1 (sign of token-hash bit j) is positive."""
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.array_distinct(F.split(norm_text(F.col(text_col)), " "))
+        ).alias("tok"),
+    ).select("doc", shingle_hash(F.col("tok")).alias("h"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    agg = toks.groupBy("doc").agg(*bit_sums)
+    sig = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1).cast("bigint") * (1 << j)).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sig = term if sig is None else sig + term
+    return agg.select("doc", sig.alias("simhash"))
+
+
+def sql_simhash(t: str = "documents") -> str:
+    from ctlp_spark.functions.text import SQL_NORM
+
+    norm = SQL_NORM.format(t="text")
+    sums = ", ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    bits = " + ".join(
+        f"CASE WHEN s{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS doc, {SQL_SHINGLE_HASH.format(x='tok')} AS h
+  FROM (SELECT doc_id, unnest(list_distinct(string_split({norm}, ' '))) AS tok
+        FROM {t})
+),
+agg AS (SELECT doc, {sums} FROM toks GROUP BY doc)
+SELECT doc, {bits} AS simhash FROM agg"""
+
+
+def simhash_near_pairs(
+    docs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming, found via banded
+    8-bit-chunk equality join (a pair within hamming 3 must agree on at
+    least one of 4 chunks) then exact bit_count verification."""
+    sig = simhash(docs, id_col, text_col)
+    chunk_bits = SIMHASH_BITS // SIM_BANDS
+    mask = (1 << chunk_bits) - 1
+    chunks = sig.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(ci).alias("chunk_idx"),
+                    F.shiftright(F.col("simhash"), ci * chunk_bits)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("chunk"),
+                )
+                for ci in range(SIM_BANDS)
+            ])
+        ).alias("c"),
+    ).select("doc", "simhash", "c.chunk_idx", "c.chunk")
+    cand = (
+        chunks.alias("x")
+        .join(chunks.alias("y"), on=["chunk_idx", "chunk"])
+        .where(F.col("x.doc") < F.col("y.doc"))
+        .select(
+            F.col("x.doc").alias("doc_a"),
+            F.col("y.doc").alias("doc_b"),
+            F.col("x.simhash").alias("sig_a"),
+            F.col("y.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.where(ham <= max_hamming).select(
+        "doc_a", "doc_b", ham.cast("bigint").alias("hamming")
+    )
+
+
+def sql_simhash_near_pairs(t: str = "documents", max_hamming: int = 3) -> str:
+    chunk_bits = SIMHASH_BITS // SIM_BANDS
+    mask = (1 << chunk_bits) - 1
+    base = sql_simhash(t)
+    chunk_rows = " UNION ALL ".join(
+        f"SELECT doc, simhash, {ci} AS chunk_idx, (simhash >> {ci * chunk_bits}) & {mask} AS chunk FROM sig"
+        for ci in range(SIM_BANDS)
+    )
+    return f"""
+WITH sig AS ({base}),
+chunks AS ({chunk_rows}),
+cand AS (
+  SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b,
+         x.simhash AS sig_a, y.simhash AS sig_b
+  FROM chunks x JOIN chunks y USING (chunk_idx, chunk)
+  WHERE x.doc < y.doc
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= {max_hamming}"""

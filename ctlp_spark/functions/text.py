@@ -1,0 +1,235 @@
+"""Text-analysis operators for the documents table.
+
+All are pure Catalyst column expressions (JVM-side, whole-stage-codegen'd,
+no Python in the hot path) and each has an exact ANSI-SQL twin for the
+DuckDB oracle. Designed for 100 TB scale: per-row, no shuffle, no UDF.
+
+The reference has no text analytics (its only scalar surface is regex
+matching, SURVEY.md §2.7); these are the training-data-pipeline extensions
+required by the project brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Shared constants — any change must be mirrored in the SQL twins below.
+STOPWORDS = ("the", "a", "and", "of", "to", "in")
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    # marker substrings per language; scores are occurrence counts.
+    # Deterministic tie-break: lexicographically smallest language wins.
+    "de": (" der ", " und ", " sch"),
+    "en": (" the ", " of ", "ing "),
+    "es": (" el ", " los ", "ción"),
+    "fr": (" le ", " les ", " aux "),
+    "zh": ("的", "是", "了"),
+}
+FP_MOD = 2_147_483_647  # 2^31-1, keeps acc*31+h < 2^36 (no bigint overflow)
+FP_MULT = 31
+
+
+def norm_text(col: Column) -> Column:
+    """lower + whitespace-collapse + trim — the canonical form used by
+    fingerprints and exact dedup."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count (0 for empty/blank)."""
+    t = norm_text(col)
+    return F.when(t == "", F.lit(0)).otherwise(
+        F.size(F.split(t, " "))
+    )
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Sub-word-ish token count: split on word/non-word boundaries the way a
+    BPE pre-tokenizer segments (letters runs, digit runs, punctuation)."""
+    t = F.trim(col)
+    pieces = F.regexp_extract_all(t, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
+    return F.size(pieces)
+
+
+def stopword_ratio(col: Column) -> Column:
+    """Fraction of whitespace tokens that are stopwords (6-dp rounded)."""
+    t = norm_text(col)
+    toks = F.split(t, " ")
+    stops = F.filter(toks, lambda x: x.isin(*STOPWORDS))
+    return F.when(t == "", F.lit(0.0)).otherwise(
+        F.round(F.size(stops) / F.size(toks), 6)
+    )
+
+
+def distinct_token_ratio(col: Column) -> Column:
+    """Unique-token fraction — low values flag boilerplate/repetition."""
+    t = norm_text(col)
+    toks = F.split(t, " ")
+    return F.when(t == "", F.lit(0.0)).otherwise(
+        F.round(F.size(F.array_distinct(toks)) / F.size(toks), 6)
+    )
+
+
+def quality_score(col: Column) -> Column:
+    """Composite quality in [0,1]: rewards lexical diversity, mild stopword
+    presence, and penalizes very short docs. Float convenience wrapper over
+    :func:`quality_ppm`."""
+    return quality_ppm(col) / F.lit(1_000_000.0)
+
+
+def n_stopword_tokens(col: Column) -> Column:
+    t = norm_text(col)
+    toks = F.split(t, " ")
+    stops = F.filter(toks, lambda x: x.isin(*STOPWORDS))
+    return F.when(t == "", F.lit(0)).otherwise(F.size(stops))
+
+
+def n_distinct_tokens(col: Column) -> Column:
+    t = norm_text(col)
+    return F.when(t == "", F.lit(0)).otherwise(
+        F.size(F.array_distinct(F.split(t, " ")))
+    )
+
+
+def quality_ppm(col: Column) -> Column:
+    """Quality in exact integer parts-per-million — pure bigint arithmetic
+    (integer division), so every engine computes the identical value (float
+    rounding flips the last digit across engines at half-way points):
+
+      ppm = (500000·n_distinct) div n_tok            # lexical diversity
+          + least((1200000·n_stop) div n_tok, 300000) # stopword presence
+          + least(3125·n_tok, 200000)                 # length saturation @64
+    """
+    nt = token_count(col).cast("bigint")
+    nd = n_distinct_tokens(col).cast("bigint")
+    ns = n_stopword_tokens(col).cast("bigint")
+    diversity = F.when(nt == 0, F.lit(0).cast("bigint")).otherwise(
+        F.floor((nd * 500_000) / nt).cast("bigint")
+    )
+    stop_part = F.when(nt == 0, F.lit(0).cast("bigint")).otherwise(
+        F.least(
+            F.floor((ns * 1_200_000) / nt).cast("bigint"),
+            F.lit(300_000).cast("bigint"),
+        )
+    )
+    len_part = F.least(nt * 3125, F.lit(200_000).cast("bigint"))
+    return diversity + stop_part + len_part
+
+
+def lang_id(col: Column) -> Column:
+    """Marker-substring language ID: argmax occurrence count over
+    LANG_MARKERS, lexicographic tie-break, padded text so edge tokens
+    match. occurrences(m) = (len(t) - len(replace(t, m, ''))) / len(m)."""
+    padded = F.concat(F.lit(" "), norm_text(col), F.lit(" "))
+    best_lang: Column | None = None
+    best_score: Column | None = None
+    for lang in sorted(LANG_MARKERS):
+        score: Column = F.lit(0)
+        for m in LANG_MARKERS[lang]:
+            occ = (F.length(padded) - F.length(F.replace(padded, F.lit(m)))) / len(m)
+            score = score + occ
+        if best_lang is None:
+            best_lang, best_score = F.lit(lang), score
+        else:
+            improved = score > best_score
+            best_lang = F.when(improved, F.lit(lang)).otherwise(best_lang)
+            best_score = F.when(improved, score).otherwise(best_score)
+    return F.when(best_score > 0, best_lang).otherwise(F.lit("und"))
+
+
+def fingerprint_md5(col: Column) -> Column:
+    """Exact-dup fingerprint: md5 of the normalized text."""
+    return F.md5(norm_text(col))
+
+
+def tok_hash(col: Column) -> Column:
+    """Deterministic 60-bit token hash both engines can compute:
+    first 15 hex digits of md5 → bigint."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def rolling_fingerprint(col: Column) -> Column:
+    """Order-sensitive polynomial rolling hash over tokens:
+    acc = (acc*31 + tok_hash(tok) % M) % M, M = 2^31-1. Distinguishes
+    reordered documents that share a bag of words."""
+    toks = F.split(norm_text(col), " ")
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: (acc * FP_MULT + tok_hash(x) % FP_MOD) % FP_MOD,
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL twins (DuckDB dialect) — string templates over a text expression
+# ---------------------------------------------------------------------------
+
+SQL_NORM = "trim(regexp_replace(lower({t}), '\\s+', ' ', 'g'))"
+SQL_TOKEN_COUNT = (
+    f"CASE WHEN {SQL_NORM} = '' THEN 0 "
+    f"ELSE len(string_split({SQL_NORM}, ' ')) END"
+)
+_STOP_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
+SQL_STOPWORD_RATIO = (
+    f"CASE WHEN {SQL_NORM} = '' THEN 0.0 ELSE round("
+    f"len(list_filter(string_split({SQL_NORM}, ' '), x -> x IN ({_STOP_LIST})))"
+    f" / len(string_split({SQL_NORM}, ' ')), 6) END"
+)
+SQL_DISTINCT_RATIO = (
+    f"CASE WHEN {SQL_NORM} = '' THEN 0.0 ELSE round("
+    f"len(list_distinct(string_split({SQL_NORM}, ' ')))"
+    f" / len(string_split({SQL_NORM}, ' ')), 6) END"
+)
+_SQL_NTOK = SQL_TOKEN_COUNT
+_SQL_NDIS = (
+    f"CASE WHEN {SQL_NORM} = '' THEN 0 "
+    f"ELSE len(list_distinct(string_split({SQL_NORM}, ' '))) END"
+)
+_SQL_NSTOP = (
+    f"CASE WHEN {SQL_NORM} = '' THEN 0 ELSE "
+    f"len(list_filter(string_split({SQL_NORM}, ' '), x -> x IN ({_STOP_LIST}))) END"
+)
+SQL_N_DISTINCT = _SQL_NDIS
+SQL_N_STOP = _SQL_NSTOP
+SQL_QUALITY_PPM = (
+    f"(CASE WHEN ({_SQL_NTOK}) = 0 THEN 0 "
+    f"ELSE CAST(floor((({_SQL_NDIS}) * 500000) / ({_SQL_NTOK})) AS BIGINT) END"
+    f" + CASE WHEN ({_SQL_NTOK}) = 0 THEN 0 "
+    f"ELSE least(CAST(floor((({_SQL_NSTOP}) * 1200000) / ({_SQL_NTOK})) AS BIGINT), 300000) END"
+    f" + least(({_SQL_NTOK}) * 3125, 200000))"
+)
+SQL_BPE_COUNT = (
+    "len(regexp_extract_all(trim({t}), "
+    "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9[:space:]]'))"
+)
+SQL_FINGERPRINT = f"md5({SQL_NORM})"
+SQL_TOK_HASH = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+SQL_ROLLING_FP = (
+    f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    f"list_transform(string_split({SQL_NORM}, ' '), "
+    f"x -> {SQL_TOK_HASH.format(x='x')} % {FP_MOD})), "
+    f"(acc, h) -> (acc * {FP_MULT} + h) % {FP_MOD})"
+)
+
+
+def sql_lang_id(t: str) -> str:
+    """DuckDB twin of lang_id(): greedy argmax with lexicographic
+    tie-break, expressed as a nested CASE over per-language scores."""
+    padded = f"(' ' || {SQL_NORM.format(t=t)} || ' ')"
+
+    def occ(m: str) -> str:
+        esc = m.replace("'", "''")
+        return f"((len({padded}) - len(replace({padded}, '{esc}', ''))) / {len(m)})"
+
+    scores = {
+        lang: " + ".join(occ(m) for m in LANG_MARKERS[lang])
+        for lang in sorted(LANG_MARKERS)
+    }
+    # replicate the python fold: iterate langs in sorted order, strict >
+    expr_lang = f"'{sorted(LANG_MARKERS)[0]}'"
+    expr_score = f"({scores[sorted(LANG_MARKERS)[0]]})"
+    for lang in sorted(LANG_MARKERS)[1:]:
+        s = f"({scores[lang]})"
+        expr_lang = f"CASE WHEN {s} > {expr_score} THEN '{lang}' ELSE {expr_lang} END"
+        expr_score = f"CASE WHEN {s} > {expr_score} THEN {s} ELSE {expr_score} END"
+    return f"CASE WHEN {expr_score} > 0 THEN {expr_lang} ELSE 'und' END"
