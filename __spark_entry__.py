@@ -352,6 +352,91 @@ def _dedup_sql(kind: str) -> str:
     }[kind]
 
 
+
+# ---------------------------------------------------------------------------
+# similarity-search queries (embeddings table)
+# ---------------------------------------------------------------------------
+
+
+def q_s1_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 10 query vectors — broadcast query side,
+    one corpus scan, per-query window top-k. The exactness baseline."""
+    from ctlp_spark.functions import ann as A
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return A.brute_force_topk(emb, k=5, n_queries=10)
+
+
+def q_s2_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style top-k: search only the query's own label cell (precomputed
+    centroid assignment) — the partition-pruned scale path."""
+    from ctlp_spark.functions import ann as A
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return A.brute_force_topk(emb, k=5, n_queries=10, same_label_only=True)
+
+
+def q_s3_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucket assignment (16 deterministic ±1 hyperplanes) — the
+    linear-time blocking key for all-pairs similarity."""
+    from ctlp_spark.functions import ann as A
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return A.lsh_buckets(emb)
+
+
+def q_s4_lsh_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded sign-LSH candidate pairs — linear-time all-pairs blocking."""
+    from ctlp_spark.functions import ann as A
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return A.lsh_band_candidates(emb)
+
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing queries (binary columns + mapInPandas stages)
+# ---------------------------------------------------------------------------
+
+
+def q_m1_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over opaque binary media payloads — pure column
+    expressions (octet_length, first content byte)."""
+    from ctlp_spark.functions import multimodal as M
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return M.media_metadata(M.media_from_docs(docs))
+
+
+_M1_SQL = """
+SELECT doc_id,
+       ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(('0x' || substr(hex(encode(text)), 1, 2)) AS BIGINT) AS first_byte
+FROM documents"""
+
+
+def q_m2_decode_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas decode stage (deterministic stub codec —
+    no media libs in this container). No SQL oracle: validated by
+    tests/test_multimodal.py (rows-only check here)."""
+    from ctlp_spark.functions import multimodal as M
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return M.decode_media(M.media_from_docs(docs))
+
+
+def _ann_sql(kind: str) -> str:
+    from ctlp_spark.functions import ann as A
+
+    return {
+        "brute": A.sql_brute_force_topk(k=5, n_queries=10),
+        "ivf": A.sql_brute_force_topk(k=5, n_queries=10, same_label_only=True),
+        "buckets": A.sql_lsh_buckets(),
+        "band_cand": A.sql_lsh_band_candidates(),
+    }[kind]
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -391,6 +476,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d4_lsh_candidates": q_d4_lsh_candidates,
         "d5_simhash": q_d5_simhash,
         "d6_simhash_near": q_d6_simhash_near,
+        "s1_ann_bruteforce": q_s1_ann_bruteforce,
+        "s2_ann_ivf": q_s2_ann_ivf,
+        "s3_lsh_buckets": q_s3_lsh_buckets,
+        "s4_lsh_band_candidates": q_s4_lsh_band_candidates,
+        "m1_media_metadata": q_m1_media_metadata,
+        "m2_decode_media": q_m2_decode_media,
     }
 
 
@@ -412,4 +503,9 @@ def oracle_sql() -> dict[str, str]:
         "d4_lsh_candidates": _dedup_sql("lsh"),
         "d5_simhash": _dedup_sql("simhash"),
         "d6_simhash_near": _dedup_sql("simhash_near"),
+        "s1_ann_bruteforce": _ann_sql("brute"),
+        "s2_ann_ivf": _ann_sql("ivf"),
+        "s3_lsh_buckets": _ann_sql("buckets"),
+        "s4_lsh_band_candidates": _ann_sql("band_cand"),
+        "m1_media_metadata": _M1_SQL,
     }

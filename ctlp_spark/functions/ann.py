@@ -1,0 +1,231 @@
+"""Similarity search over the embeddings table (vec_id, embedding
+FLOAT[DIM], label).
+
+Three operators, Spark-first, each with a DuckDB SQL twin:
+
+* brute-force cosine top-k — the exactness baseline. The query set is tiny
+  and broadcast; the big side streams. O(Q·N) — correct at any scale when
+  Q is small, and the yardstick for recall of the approximate paths.
+* IVF-style top-k — searches only the query vector's own partition
+  (``label`` acts as the precomputed centroid/IVF-cell assignment),
+  pruning the scan by the number of cells. The scale path for large Q.
+* sign-LSH bucketing — 16 deterministic ±1 hyperplanes (md5-parity signs)
+  hash every vector to a bucket; near-neighbor candidates share buckets.
+  Linear-time blocking for all-pairs similarity at 10^12 scale.
+
+Cross-engine determinism: cosine is computed as an explicit LEFT FOLD over
+the vector in double precision (Spark ``aggregate``/``zip_with``, DuckDB
+``list_reduce``/``list_transform``) — identical operation order → identical
+IEEE doubles → identical ranks and floor(1e6·cos) values in both engines.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DIM = 64
+N_PLANES = 16
+
+
+def _dot(a, b):
+    """Deterministic double dot product: left fold over zip_with products."""
+    prods = F.zip_with(
+        a.cast("array<double>"), b.cast("array<double>"), lambda x, y: x * y
+    )
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    sq = F.transform(a.cast("array<double>"), lambda x: x * x)
+    return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+SQL_DOT = (
+    "list_reduce(list_prepend(0.0, list_transform(generate_series(1, {dim}), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), (acc, x) -> acc + x)"
+)
+SQL_NORM = (
+    "sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1, {dim}), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))), (acc, x) -> acc + x))"
+)
+
+
+def sql_cosine(a: str, b: str, dim: int = DIM) -> str:
+    return (
+        f"({SQL_DOT.format(a=a, b=b, dim=dim)} / "
+        f"({SQL_NORM.format(a=a, dim=dim)} * {SQL_NORM.format(a=b, dim=dim)}))"
+    )
+
+
+def brute_force_topk(
+    emb: DataFrame, k: int = 5, n_queries: int = 10, same_label_only: bool = False
+) -> DataFrame:
+    """Top-k cosine neighbors for the query set (vec_id < n_queries).
+
+    The query side is broadcast (tiny); the corpus side streams — one scan,
+    no shuffle except the final per-query top-k (Window over q, k rows out
+    per query). cos_ppm = floor(1e6·cos) is engine-exact."""
+    q = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q"), F.col("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    cond = F.col("vec_id") != F.col("q")
+    joined = emb.crossJoin(F.broadcast(q)).where(cond)
+    if same_label_only:
+        joined = joined.where(F.col("label") == F.col("qlabel"))
+    scored = joined.select(
+        "q",
+        F.col("vec_id").alias("neighbor"),
+        F.floor(cosine(F.col("qv"), F.col("embedding")) * 1_000_000)
+        .cast("bigint")
+        .alias("cos_ppm"),
+    )
+    w = Window.partitionBy("q").orderBy(
+        F.col("cos_ppm").desc(), F.col("neighbor").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q", "rank", "neighbor", "cos_ppm")
+    )
+
+
+def sql_brute_force_topk(
+    t: str = "embeddings", k: int = 5, n_queries: int = 10,
+    same_label_only: bool = False, dim: int = DIM,
+) -> str:
+    label_pred = "AND e.label = q.label" if same_label_only else ""
+    cos = sql_cosine("q.embedding", "e.embedding", dim)
+    return f"""
+WITH q AS (SELECT vec_id, embedding, label FROM {t} WHERE vec_id < {n_queries}),
+scored AS (
+  SELECT q.vec_id AS q, e.vec_id AS neighbor,
+         CAST(floor({cos} * 1000000) AS BIGINT) AS cos_ppm
+  FROM {t} e, q
+  WHERE e.vec_id <> q.vec_id {label_pred}
+),
+ranked AS (
+  SELECT q, neighbor, cos_ppm,
+         row_number() OVER (PARTITION BY q ORDER BY cos_ppm DESC, neighbor ASC) AS rank
+  FROM scored
+)
+SELECT q, rank, neighbor, cos_ppm FROM ranked WHERE rank <= {k}"""
+
+
+# ---------------------------------------------------------------------------
+# sign-LSH bucketing
+# ---------------------------------------------------------------------------
+
+
+def _plane_signs() -> list[list[int]]:
+    """N_PLANES × DIM deterministic ±1 hyperplanes from md5 parity — both
+    engines receive them as literals, so there is nothing to keep in sync
+    beyond this function."""
+    planes = []
+    for i in range(N_PLANES):
+        row = []
+        for j in range(DIM):
+            h = hashlib.md5(f"plane_{i}_{j}".encode()).hexdigest()
+            row.append(1 if int(h[0], 16) % 2 == 0 else -1)
+        planes.append(row)
+    return planes
+
+
+PLANES = _plane_signs()
+
+
+def lsh_bucket(emb_col):
+    """16-bit bucket id: bit i = sign(dot(v, plane_i)) — ±1 planes reduce
+    the dot product to a signed sum, a cheap fold per plane."""
+    v = emb_col.cast("array<double>")
+    bucket = F.lit(0).cast("bigint")
+    for i, signs in enumerate(PLANES):
+        signed = F.zip_with(
+            v,
+            F.array(*[F.lit(float(s)) for s in signs]),
+            lambda x, s: x * s,
+        )
+        dot = F.aggregate(signed, F.lit(0.0), lambda acc, x: acc + x)
+        bucket = bucket + F.when(dot > 0, F.lit(1 << i).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return bucket
+
+
+def sql_lsh_bucket(v: str, dim: int = DIM) -> str:
+    terms = []
+    for i, signs in enumerate(PLANES):
+        arr = "[" + ", ".join(f"{float(s)}" for s in signs) + "]"
+        dot = (
+            f"list_reduce(list_prepend(0.0, list_transform(generate_series(1, {dim}), "
+            f"j -> CAST({v}[j] AS DOUBLE) * ({arr}[j]))), (acc, x) -> acc + x)"
+        )
+        terms.append(f"CASE WHEN {dot} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
+
+
+def lsh_buckets(emb: DataFrame) -> DataFrame:
+    """Per-vector LSH bucket assignment (the blocking key)."""
+    return emb.select("vec_id", lsh_bucket(F.col("embedding")).alias("bucket"))
+
+
+def sql_lsh_buckets(t: str = "embeddings", dim: int = DIM) -> str:
+    return f"SELECT vec_id, {sql_lsh_bucket('embedding', dim)} AS bucket FROM {t}"
+
+
+def lsh_band_candidates(emb: DataFrame, band_bits: int = 4) -> DataFrame:
+    """Near-neighbor candidate pairs: vectors sharing any band (band_bits
+    consecutive bucket bits). At test scale 16 planes / 4-bit bands; at
+    10^12 scale use ≥64 planes and ≥16-bit bands so band keys stay
+    selective (the band join is the only shuffle and its key distribution
+    is sign-balanced by construction)."""
+    n_bands = N_PLANES // band_bits
+    mask = (1 << band_bits) - 1
+    b = lsh_buckets(emb)
+    bands = b.select(
+        "vec_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band_idx"),
+                    F.shiftright(F.col("bucket"), i * band_bits)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("band_key"),
+                )
+                for i in range(n_bands)
+            ])
+        ).alias("bk"),
+    ).select("vec_id", "bk.band_idx", "bk.band_key")
+    return (
+        bands.alias("x")
+        .join(bands.alias("y"), on=["band_idx", "band_key"])
+        .where(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(
+            F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+
+
+def sql_lsh_band_candidates(
+    t: str = "embeddings", band_bits: int = 4, dim: int = DIM
+) -> str:
+    n_bands = N_PLANES // band_bits
+    mask = (1 << band_bits) - 1
+    band_rows = " UNION ALL ".join(
+        f"SELECT vec_id, {i} AS band_idx, (bucket >> {i * band_bits}) & {mask} AS band_key FROM b"
+        for i in range(n_bands)
+    )
+    return f"""
+WITH b AS (SELECT vec_id, {sql_lsh_bucket('embedding', dim)} AS bucket FROM {t}),
+bands AS ({band_rows})
+SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+FROM bands x JOIN bands y USING (band_idx, band_key)
+WHERE x.vec_id < y.vec_id"""

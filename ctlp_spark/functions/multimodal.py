@@ -1,0 +1,147 @@
+"""Multimodal column plumbing: opaque binary media + typed metadata.
+
+Media (image/audio/video) are opaque ``binary`` columns with a typed
+metadata struct. The Spark-side plumbing — schema, Arrow batch shape,
+``mapInPandas`` decode/feature/resize/frame-sample stages, partitioning —
+is real and tested; the codec itself is STUBBED: this container has no
+image/audio libraries, so ``decode_media`` uses a clearly-marked
+deterministic fake (bytes → pseudo width/height/frames) and
+``decode_media_real`` raises NotImplementedError unless PIL is importable.
+
+At 100 TB the pattern is: keep payloads in their own column (parquet keeps
+them column-pruned away from text scans), repartition by size-balanced key
+before the Python stage, and bound ``spark.sql.execution.arrow
+.maxRecordsPerBatch`` so a batch of large payloads fits executor memory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_TYPES = ("image", "audio", "video")
+
+try:  # real decoders, absent in this container
+    from PIL import Image  # noqa: F401
+
+    _HAVE_PIL = True
+except ImportError:
+    _HAVE_PIL = False
+
+
+def media_from_docs(docs: DataFrame) -> DataFrame:
+    """Derive a deterministic media table from documents: payload bytes are
+    the utf-8 text (stand-in for real image/audio bytes), media_type cycles
+    by doc_id. Real pipelines read payloads from object-store parquet."""
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.element_at(
+            F.array(*[F.lit(m) for m in MEDIA_TYPES]),
+            (F.col("doc_id") % len(MEDIA_TYPES) + 1).cast("int"),
+        ).alias("media_type"),
+    )
+
+
+def media_metadata(media: DataFrame) -> DataFrame:
+    """Typed metadata extraction — pure column expressions, no Python:
+    byte length and a content fingerprint byte."""
+    return media.select(
+        "doc_id",
+        "media_type",
+        F.octet_length("payload").cast("bigint").alias("n_bytes"),
+        F.conv(F.substring(F.hex("payload"), 1, 2), 16, 10)
+        .cast("bigint")
+        .alias("first_byte"),
+    )
+
+
+DECODED_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("media_type", T.StringType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("width", T.LongType()),
+    T.StructField("height", T.LongType()),
+    T.StructField("n_frames", T.LongType()),
+    T.StructField("ok", T.BooleanType()),
+])
+
+
+def _fake_decode(payload: bytes, media_type: str) -> tuple[int, int, int]:
+    """STUB: deterministic pseudo-decode (no media libs in this container).
+    Replace with PIL/ffmpeg in production; the Spark plumbing is unchanged."""
+    if not payload:
+        return 0, 0, 0
+    w = payload[0] % 64 + 1
+    h = payload[-1] % 64 + 1
+    frames = 1 if media_type == "image" else len(payload) % 32 + 1
+    return w, h, frames
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """Arrow-batched decode stage: mapInPandas over (doc_id, payload,
+    media_type) batches. Python sees whole Arrow batches, never single rows."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            dims = [
+                _fake_decode(p, m)
+                for p, m in zip(pdf["payload"], pdf["media_type"])
+            ]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media_type": pdf["media_type"],
+                "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
+                "width": [d[0] for d in dims],
+                "height": [d[1] for d in dims],
+                "n_frames": [d[2] for d in dims],
+                "ok": [p is not None and len(p) > 0 for p in pdf["payload"]],
+            })
+
+    return media.mapInPandas(batches, schema=DECODED_SCHEMA)
+
+
+def decode_media_real(media: DataFrame) -> DataFrame:  # pragma: no cover
+    """The real-codec path — requires PIL; absent in this container."""
+    if not _HAVE_PIL:
+        raise NotImplementedError(
+            "image/audio codecs are not installed in this environment; "
+            "use decode_media (deterministic stub) — the Spark plumbing "
+            "is identical"
+        )
+    raise NotImplementedError("wire PIL decode here")
+
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("frame_idx", T.LongType()),
+    T.StructField("frame_md5", T.StringType()),
+])
+
+
+def frame_sample(media: DataFrame, every_n_bytes: int = 16, max_frames: int = 8) -> DataFrame:
+    """Frame sampling stub: treat every ``every_n_bytes`` slice as a frame,
+    emit up to ``max_frames`` per doc with a content hash — a one-to-many
+    mapInPandas (the shape real video frame-sampling has)."""
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, hashes = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                for k in range(min(max_frames, max(1, len(payload) // every_n_bytes))):
+                    chunk = bytes(payload[k * every_n_bytes : (k + 1) * every_n_bytes])
+                    ids.append(doc_id)
+                    idxs.append(k)
+                    hashes.append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_md5": hashes}
+            )
+
+    return media.mapInPandas(batches, schema=FRAME_SCHEMA)

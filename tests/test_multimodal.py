@@ -1,0 +1,51 @@
+"""Multimodal plumbing: binary schema, Arrow-batched decode, frame fan-out."""
+
+from __future__ import annotations
+
+import pytest
+
+from ctlp_spark.functions import multimodal as M
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    return M.media_from_docs(docs).cache()
+
+
+def test_media_schema(media):
+    assert dict(media.dtypes) == {
+        "doc_id": "bigint", "payload": "binary", "media_type": "string"
+    }
+    types = {r.media_type for r in media.select("media_type").distinct().collect()}
+    assert types == set(M.MEDIA_TYPES)
+
+
+def test_decode_deterministic(media):
+    a = {r.doc_id: r for r in M.decode_media(media).collect()}
+    b = {r.doc_id: r for r in M.decode_media(media.repartition(7)).collect()}
+    assert len(a) == media.count()
+    assert a.keys() == b.keys()
+    for k in a:
+        assert a[k] == b[k]  # partitioning must not change decode output
+    row = next(iter(a.values()))
+    assert row.ok and row.width >= 1 and row.height >= 1
+
+
+def test_decode_real_stubbed(media):
+    with pytest.raises(NotImplementedError):
+        M.decode_media_real(media)
+
+
+def test_frame_sample_fanout(media):
+    frames = M.frame_sample(media).collect()
+    by_doc: dict[int, list] = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc) == media.count()
+    for rows in by_doc.values():
+        idxs = sorted(r.frame_idx for r in rows)
+        assert idxs == list(range(len(idxs)))  # dense frame numbering
+        assert all(len(r.frame_md5) == 32 for r in rows)
