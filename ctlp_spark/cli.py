@@ -1,0 +1,151 @@
+"""spark-submit / local CLI entry — the dev.go analogue
+(/root/reference/cmd/dev.go:52-165: input, rules, out, summary counts).
+
+Local dev:      python -m ctlp_spark.cli --input D --rules R.yaml --out O
+Cluster submit: spark-submit --py-files ctlp_spark.zip cli.py --input ... \
+                (build the zip with ``python -m ctlp_spark.cli --build-pyfiles``)
+
+Under spark-submit the session respects the submitted master/conf; the
+--cpus flag forces a local[N] master for dev runs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import zipfile
+
+
+def build_pyfiles(out_path: str = "ctlp_spark.zip") -> str:
+    """Package the library for ``spark-submit --py-files``."""
+    pkg_root = os.path.dirname(os.path.abspath(__file__))
+    with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for dirpath, _dirnames, filenames in os.walk(pkg_root):
+            for fn in filenames:
+                if not fn.endswith(".py"):
+                    continue
+                full = os.path.join(dirpath, fn)
+                rel = os.path.join(
+                    "ctlp_spark", os.path.relpath(full, pkg_root)
+                )
+                zf.write(full, rel)
+    return out_path
+
+
+def _session(args):
+    from pyspark.sql import SparkSession
+
+    if args.cpus:
+        from ctlp_spark.session import get_spark
+
+        return get_spark(app_name="ctlp_cli", cpus=args.cpus)
+    # under spark-submit: respect the submitted master/conf
+    return (
+        SparkSession.builder.appName("ctlp_cli")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="ctlp_spark")
+    ap.add_argument("--input", help="transcript parquet path/glob")
+    ap.add_argument("--rules", help="YAML/JSON rule config path")
+    ap.add_argument("--out", help="output directory (kept/ + dropped/)")
+    ap.add_argument("--engine", default="native", choices=["native", "pandas"])
+    ap.add_argument("--json-extractor", default="native",
+                    choices=["native", "regex"])
+    ap.add_argument("--json-column", action="append", default=[],
+                    metavar="PREFIX=COLUMN",
+                    help="rule dot-path prefix -> JSON source column")
+    ap.add_argument("--cpus", help="force local[N] master (dev mode)")
+    ap.add_argument("--metrics-out", help="write run metrics JSON here")
+    ap.add_argument("--resume-manifest",
+                    help="checkpoint manifest path: per-file resumable mode")
+    ap.add_argument("--dry-run", action="store_true",
+                    help="counts only, no sink writes (versioned.go:323-353)")
+    ap.add_argument("--build-pyfiles", action="store_true",
+                    help="write ctlp_spark.zip for spark-submit --py-files")
+    args = ap.parse_args(argv)
+
+    if args.build_pyfiles:
+        path = build_pyfiles()
+        print(json.dumps({"pyfiles": os.path.abspath(path)}))
+        return 0
+    if not (args.input and args.rules):
+        ap.error("--input and --rules are required (or --build-pyfiles)")
+
+    from ctlp_spark.metrics import RunMetrics, Timer
+    from ctlp_spark.operators.pipeline import dry_run_df, run_pipeline
+    from ctlp_spark.rules import load_rules
+
+    json_columns = dict(kv.split("=", 1) for kv in args.json_column) or None
+    cfg = load_rules(args.rules)
+    spark = _session(args)
+    df = spark.read.parquet(args.input)
+
+    with Timer() as t:
+        if args.dry_run:
+            res = dry_run_df(df, cfg, engine=args.engine,
+                             json_columns=json_columns)
+            summary = {
+                "total": res.total_events,
+                "kept": res.passed_count,
+                "dropped": res.filtered_count,
+                "filter_rate": round(res.filter_rate, 6),
+                "rule_hits": res.rule_hits,
+            }
+        elif args.resume_manifest:
+            from ctlp_spark.sources.io import run_resumable
+
+            files = sorted(
+                os.path.join(args.input, f)
+                for f in os.listdir(args.input)
+                if f.endswith(".parquet")
+            )
+            res = run_resumable(
+                spark, files, cfg, args.out, args.resume_manifest,
+                engine=args.engine, json_columns=json_columns,
+            )
+            summary = {
+                "total": res.total, "kept": res.kept, "dropped": res.dropped,
+                "filter_rate": round(res.filter_rate, 6),
+                "rule_hits": res.rule_hits,
+            }
+        else:
+            if not args.out:
+                ap.error("--out is required unless --dry-run")
+            res = run_pipeline(
+                df, cfg, args.out, engine=args.engine,
+                json_columns=json_columns,
+            )
+            summary = {
+                "total": res.total, "kept": res.kept, "dropped": res.dropped,
+                "filter_rate": round(res.filter_rate, 6),
+                "rule_hits": res.rule_hits,
+            }
+
+    summary["elapsed_sec"] = round(t.elapsed, 3)
+    summary["rows_per_sec"] = (
+        round(summary["total"] / t.elapsed, 1) if t.elapsed else 0.0
+    )
+    if args.metrics_out:
+        RunMetrics(
+            job="ctlp_cli",
+            input_rows=summary["total"],
+            kept=summary["kept"],
+            dropped=summary["dropped"],
+            rule_hits=summary["rule_hits"],
+            elapsed_sec=summary["elapsed_sec"],
+            rows_per_sec=summary["rows_per_sec"],
+            engine=args.engine,
+        ).write(args.metrics_out)
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,75 @@
+"""Run metrics: the CloudWatch-emission analogue (SURVEY.md §2.3 A4,
+reference pkg/metrics/cloudwatch.go:91-350) re-imagined for Spark.
+
+Two layers:
+
+* ``Observation``-based exact counters attached to the running job
+  (``df.observe`` — computed inline with the action, no extra scan);
+* a JSON metrics file per run (the CloudWatch PutMetricData stand-in):
+  counters, timings, throughput. Parity counters always come from
+  committed sink data (never accumulators — they over-count on task
+  retry, SURVEY.md §2.3 A3); observations are telemetry.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import asdict, dataclass, field
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+from ctlp_spark.operators.pipeline import MATCHED_RULE_COL
+
+
+def observe_tagged(tagged: DataFrame, name: str = "ctlp") -> tuple[DataFrame, Observation]:
+    """Attach inline kept/dropped counters to a tagged frame; read
+    ``obs.get`` after the first action on the returned frame."""
+    obs = Observation(name)
+    observed = tagged.observe(
+        obs,
+        F.count(F.lit(1)).alias("input_rows"),
+        F.count(MATCHED_RULE_COL).alias("dropped_rows"),
+        (F.count(F.lit(1)) - F.count(MATCHED_RULE_COL)).alias("kept_rows"),
+    )
+    return observed, obs
+
+
+@dataclass
+class RunMetrics:
+    """One pipeline run's metrics record (the PutMetricData payload twin)."""
+
+    job: str
+    input_rows: int = 0
+    kept: int = 0
+    dropped: int = 0
+    rule_hits: dict[str, int] = field(default_factory=dict)
+    elapsed_sec: float = 0.0
+    rows_per_sec: float = 0.0
+    engine: str = "native"
+    extra: dict = field(default_factory=dict)
+
+    @property
+    def filter_rate(self) -> float:
+        return self.dropped / self.input_rows if self.input_rows else 0.0
+
+    def to_json(self) -> dict:
+        d = asdict(self)
+        d["filter_rate"] = round(self.filter_rate, 6)
+        return d
+
+    def write(self, path: str) -> None:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "w", encoding="utf-8") as fh:
+            json.dump(self.to_json(), fh, indent=2)
+
+
+class Timer:
+    def __enter__(self):
+        self.t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        self.elapsed = time.perf_counter() - self.t0

@@ -1,0 +1,110 @@
+"""Structured Streaming variant of the filter→enrich→route pipeline.
+
+The Spark analogue of the reference's streaming processor
+(/root/reference/pkg/processor/streaming.go:93-231): where the Go engine
+incrementally scans one byte stream with O(1) memory, Spark streams *files*
+(or an Iceberg/Kafka source) as micro-batches with checkpointed exactly-once
+sinks — the record-framing concern disappears into the source.
+
+Semantics preserved from the batch path: the same ``tag`` compiler runs
+inside each micro-batch, so kept/dropped routing and first-match attribution
+are identical (tested against the batch pipeline in test_streaming.py).
+foreachBatch writes both sinks atomically-enough per micro-batch and the
+checkpoint (WAL + source offsets) makes the whole job resumable: restarting
+after a kill re-processes only unfinished batches — the streaming twin of
+the manifest resume in sources/io.py (north rule: resumable from
+checkpoint, exactly-once per-sink counts)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ctlp_spark.operators.pipeline import MATCHED_RULE_COL, enrich, route, tag
+from ctlp_spark.rules import RuleConfig
+
+TRANSCRIPT_DDL = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts timestamp_ntz"
+)
+
+
+def read_transcript_stream(
+    spark: SparkSession,
+    path: str,
+    schema: str = TRANSCRIPT_DDL,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over a directory of transcript parquet files.
+    ``maxFilesPerTrigger`` bounds micro-batch size (backpressure — the
+    analogue of the reference's O(1)-memory scanner sizing,
+    streaming.go:113-121)."""
+    reader = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def run_stream_pipeline(
+    stream_df: DataFrame,
+    cfg: RuleConfig,
+    out_dir: str,
+    checkpoint_dir: str,
+    engine: str = "native",
+    json_columns: dict[str, str] | None = None,
+    role_dim: DataFrame | None = None,
+    tool_dim: DataFrame | None = None,
+    available_now: bool = True,
+):
+    """Start the streaming pipeline; returns the StreamingQuery.
+
+    Each micro-batch: tag → route → enrich(kept) → append both sinks.
+    ``Trigger.AvailableNow`` drains the backlog then stops — one bounded
+    run per invocation, resumable via the checkpoint."""
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        tagged = tag(batch_df, cfg, engine=engine, json_columns=json_columns)
+        kept, dropped = route(tagged)
+        kept = enrich(kept, role_dim=role_dim, tool_dim=tool_dim)
+        kept.write.mode("append").parquet(f"{out_dir}/kept")
+        (
+            dropped.write.mode("append")
+            .partitionBy(MATCHED_RULE_COL)
+            .parquet(f"{out_dir}/dropped")
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_rule_counts(
+    stream_df: DataFrame,
+    cfg: RuleConfig,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+    engine: str = "native",
+    json_columns: dict[str, str] | None = None,
+) -> DataFrame:
+    """Event-time windowed per-rule drop counters with late-data handling —
+    the streaming A2 (the reference has no time semantics at all,
+    SURVEY.md §2.8; this is the graft extension for telemetry)."""
+    tagged = tag(
+        stream_df.withColumn("ts", F.col("ts").cast("timestamp")),
+        cfg,
+        engine=engine,
+        json_columns=json_columns,
+    )
+    return (
+        tagged.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window).alias("w"),
+            F.coalesce(F.col(MATCHED_RULE_COL), F.lit("kept")).alias("sink"),
+        )
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("w_start"), "sink", "n")
+    )

@@ -1,0 +1,100 @@
+"""CLI + metrics + spark-submit packaging tests (dev.go analogue)."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+from ctlp_spark.gen import DEFAULT_RULES_YAML
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def rules_file(tmp_path_factory) -> str:
+    p = tmp_path_factory.mktemp("rules") / "rules.yaml"
+    p.write_text(DEFAULT_RULES_YAML)
+    return str(p)
+
+
+def _run_cli(args: list[str]) -> dict:
+    proc = subprocess.run(
+        [sys.executable, "-m", "ctlp_spark.cli", *args],
+        capture_output=True, text=True, cwd=REPO, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+def test_cli_pipeline(corpus_dir, expected, rules_file, tmp_path):
+    out = _run_cli([
+        "--input", os.path.join(corpus_dir, "transcripts.parquet"),
+        "--rules", rules_file,
+        "--out", str(tmp_path / "out"),
+        "--json-column", "text_json=text",
+        "--cpus", "8",
+        "--metrics-out", str(tmp_path / "metrics.json"),
+    ])
+    assert out["total"] == expected["total"]
+    assert out["kept"] == expected["kept"]
+    assert out["rule_hits"] == expected["rule_hits"]
+    metrics = json.load(open(tmp_path / "metrics.json"))
+    assert metrics["kept"] == expected["kept"]
+    assert metrics["rows_per_sec"] > 0
+
+
+def test_cli_dry_run(corpus_dir, expected, rules_file):
+    out = _run_cli([
+        "--input", os.path.join(corpus_dir, "transcripts.parquet"),
+        "--rules", rules_file,
+        "--json-column", "text_json=text",
+        "--cpus", "8",
+        "--dry-run",
+    ])
+    assert out["dropped"] == expected["dropped"]
+    assert out["rule_hits"] == expected["rule_hits"]
+
+
+def test_spark_submit_pyfiles(corpus_dir, expected, rules_file, tmp_path):
+    """The north-rule packaging requirement: the job must run via
+    spark-submit --py-files with the library zipped."""
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        import pyspark
+
+        spark_submit = os.path.join(
+            os.path.dirname(pyspark.__file__), "bin", "spark-submit"
+        )
+    assert os.path.exists(spark_submit), "spark-submit not found"
+
+    zip_path = str(tmp_path / "ctlp_spark.zip")
+    proc = subprocess.run(
+        [sys.executable, "-m", "ctlp_spark.cli", "--build-pyfiles"],
+        capture_output=True, text=True, cwd=str(tmp_path), timeout=120,
+        env={**os.environ, "PYTHONPATH": REPO},
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    zip_path = json.loads(proc.stdout.strip().splitlines()[-1])["pyfiles"]
+
+    proc = subprocess.run(
+        [
+            spark_submit,
+            "--master", "local[4]",
+            "--py-files", zip_path,
+            os.path.join(REPO, "ctlp_spark", "cli.py"),
+            "--input", os.path.join(corpus_dir, "transcripts.parquet"),
+            "--rules", rules_file,
+            "--out", str(tmp_path / "out"),
+            "--json-column", "text_json=text",
+        ],
+        capture_output=True, text=True, cwd=str(tmp_path), timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert out["kept"] == expected["kept"]
+    assert out["rule_hits"] == expected["rule_hits"]
