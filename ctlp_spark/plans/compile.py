@@ -144,6 +144,14 @@ def matched_rule_native(
         if impossible:
             continue  # rule can never fire on this schema
         pred = reduce(and_, conds)
+        # exclude_matches: any holding exception vetoes the rule. A NULL /
+        # unresolvable exception cannot hold (missing-field semantics), so
+        # coalesce(…, False) before negating.
+        for m in rule.exclude_matches:
+            col = resolve_field(df, m.field_name, json_columns, json_extractor)
+            if col is None:
+                continue  # exception can never hold on this schema
+            pred = pred & ~F.coalesce(col.rlike(m.regex), F.lit(False))
         branches.append(F.when(pred, F.lit(rule.name)))
     if not branches:
         return F.lit(None).cast(T.StringType()).alias(MATCHED_RULE_COL)
@@ -175,13 +183,20 @@ def matched_rule_pandas(
         for f in fields
     ]
     idx = {f: i for i, f in enumerate(fields)}
-    compiled: list[tuple[str, list[tuple[int, re.Pattern]] | None]] = []
+    compiled: list[tuple[str, list[tuple[int, re.Pattern]] | None, list[tuple[int, re.Pattern]]]] = []
     for rule in cfg.rules:
         if any(resolved[m.field_name] is None for m in rule.matches):
-            compiled.append((rule.name, None))  # impossible on this schema
+            compiled.append((rule.name, None, []))  # impossible on this schema
             continue
+        excludes = [
+            (idx[m.field_name], re.compile(m.regex))
+            for m in rule.exclude_matches
+            if resolved[m.field_name] is not None
+        ]
         compiled.append(
-            (rule.name, [(idx[m.field_name], re.compile(m.regex)) for m in rule.matches])
+            (rule.name,
+             [(idx[m.field_name], re.compile(m.regex)) for m in rule.matches],
+             excludes)
         )
 
     @F.pandas_udf(T.StringType())
@@ -199,7 +214,7 @@ def matched_rule_pandas(
         n = len(series[0]) if series else 0
         result = pd.Series([None] * n, dtype=object)
         unmatched = np.ones(n, dtype=bool)
-        for name, matches in compiled:
+        for name, matches, excludes in compiled:
             if matches is None or not unmatched.any():
                 continue
             mask = unmatched.copy()
@@ -211,6 +226,12 @@ def matched_rule_pandas(
                 sub = series[col_i][mask]
                 hit = sub.str.contains(pat, na=False).to_numpy(dtype=bool)
                 mask[mask] = hit
+            for col_i, pat in excludes:
+                if not mask.any():
+                    break
+                sub = series[col_i][mask]
+                veto = sub.str.contains(pat, na=False).to_numpy(dtype=bool)
+                mask[mask] = ~veto
             if mask.any():
                 result[mask] = name
                 unmatched &= ~mask

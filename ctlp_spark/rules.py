@@ -69,10 +69,16 @@ class Match:
 
 @dataclass(frozen=True)
 class Rule:
-    """A named conjunction of matches — reference pkg/rules/rules.go:20-23."""
+    """A named conjunction of matches — reference pkg/rules/rules.go:20-23.
+
+    ``exclude_matches`` (rule exceptions) is documented in the reference's
+    README.md:279-281 but absent from its code (the Go Rule struct has only
+    Name and Matches) — here it is implemented: the rule fires when all
+    ``matches`` hold AND no ``exclude_matches`` condition holds."""
 
     name: str
     matches: tuple[Match, ...]
+    exclude_matches: tuple[Match, ...] = ()
 
 
 @dataclass
@@ -96,7 +102,7 @@ class RuleConfig:
         """Distinct field paths referenced by any rule, in first-use order."""
         seen: dict[str, None] = {}
         for rule in self.rules:
-            for m in rule.matches:
+            for m in (*rule.matches, *rule.exclude_matches):
                 seen.setdefault(m.field_name, None)
         return list(seen)
 
@@ -150,7 +156,7 @@ def validate_config(cfg: RuleConfig) -> None:
         seen.add(rule.name)
         if not rule.matches:
             raise RuleValidationError(f"rule {rule.name!r} has no matches")
-        for m in rule.matches:
+        for m in (*rule.matches, *rule.exclude_matches):
             if not _FIELD_PATH_RE.match(m.field_name):
                 raise RuleValidationError(
                     f"rule {rule.name!r}: bad field path {m.field_name!r}"
@@ -165,6 +171,10 @@ def _config_from_obj(obj: dict) -> RuleConfig:
             matches=tuple(
                 Match(field_name=m["field_name"], regex=m["regex"])
                 for m in r.get("matches", [])
+            ),
+            exclude_matches=tuple(
+                Match(field_name=m["field_name"], regex=m["regex"])
+                for m in r.get("exclude_matches", [])
             ),
         )
         for r in obj.get("rules", [])
@@ -213,23 +223,19 @@ def eval_rules_py(cfg: RuleConfig, record: dict) -> str | None:
     nested dicts only (arrays not addressable — pkg/utils/utils.go:89-98).
     Returns the matching rule name, or None (record kept).
     """
+    def _cond_holds(m: Match) -> bool:
+        value: object = record
+        for seg in m.field_name.split("."):
+            if isinstance(value, dict) and seg in value:
+                value = value[seg]
+            else:
+                return False
+        return isinstance(value, str) and re.search(m.regex, value) is not None
+
     for rule in cfg.rules:
-        matched = True
-        for m in rule.matches:
-            value: object = record
-            for seg in m.field_name.split("."):
-                if isinstance(value, dict) and seg in value:
-                    value = value[seg]
-                else:
-                    value = _MISSING
-                    break
-            if value is _MISSING or not isinstance(value, str):
-                matched = False
-                break
-            if not re.search(m.regex, value):
-                matched = False
-                break
-        if matched:
+        if all(_cond_holds(m) for m in rule.matches) and not any(
+            _cond_holds(m) for m in rule.exclude_matches
+        ):
             return rule.name
     return None
 
@@ -266,3 +272,33 @@ def dry_run(cfg: RuleConfig, records: list[dict]) -> DryRunResult:
         filter_rate=(filtered / total) if total else 0.0,
         rule_hits=hits,
     )
+
+
+class CachedConfigLoader:
+    """TTL-cached rule loading — the driver-side analogue of the reference's
+    CachedConfigLoader (pkg/config/loader.go:214-290: double-checked RW-lock
+    cache, default TTL 5 min). In Spark only the driver loads config (once
+    per batch job, per micro-batch for streaming reload), so a lock-free
+    monotonic-clock TTL suffices."""
+
+    def __init__(self, source: str | dict, ttl_seconds: float = 300.0):
+        import threading
+        import time as _time
+
+        self._source = source
+        self._ttl = ttl_seconds
+        self._clock = _time.monotonic
+        self._lock = threading.Lock()
+        self._cached: RuleConfig | None = None
+        self._loaded_at = float("-inf")
+
+    def load(self, force: bool = False) -> RuleConfig:
+        now = self._clock()
+        if not force and self._cached is not None and now - self._loaded_at < self._ttl:
+            return self._cached
+        with self._lock:
+            now = self._clock()
+            if force or self._cached is None or now - self._loaded_at >= self._ttl:
+                self._cached = load_rules(self._source)
+                self._loaded_at = now
+        return self._cached

@@ -34,7 +34,7 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
         .config("spark.driver.memory", os.environ.get("CTLP_DRIVER_MEM", "16g"))
         # ParallelGC: G1's concurrent cycles contend pathologically with
         # 32 task threads in one local-mode JVM on this virtualized host

@@ -1,0 +1,89 @@
+"""Physical-plan quality gates — the 100 TB design invariants.
+
+These assert the *shape* of the plan, not timing: column pruning reaches the
+parquet scan, predicates push down, dimension joins broadcast (no
+SortMergeJoin shuffle for tiny dims), and the tag stage itself adds no
+exchange. A plan regression here is a scale regression even if small-SF
+timings look fine.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from ctlp_spark.gen import JSON_COLUMNS, default_rules, role_dim_pdf
+from ctlp_spark.operators.pipeline import (
+    MATCHED_RULE_COL,
+    enrich,
+    repartition_salted,
+    route,
+    tag,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def tagged(spark, transcripts):
+    return tag(transcripts, default_rules(), engine="native",
+               json_columns=JSON_COLUMNS)
+
+
+def test_tag_prunes_scan_to_rule_columns(tagged):
+    """Rule eval references role/text/tool only — the scan must not read
+    conv_id/turn_idx/ts (at 100 TB that's most of the bytes)."""
+    plan = _plan(tagged.groupBy(MATCHED_RULE_COL).count())
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"role", "text", "tool"}
+
+
+def test_filter_pushdown_reaches_scan(transcripts):
+    plan = _plan(
+        transcripts.where(F.col("conv_id") == "conv-00000001").select("text")
+    )
+    assert "PushedFilters: [IsNotNull(conv_id), EqualTo(conv_id" in plan
+
+
+def test_enrich_uses_broadcast_join(spark, tagged):
+    kept, _ = route(tagged)
+    e = enrich(kept, role_dim=spark.createDataFrame(role_dim_pdf()))
+    plan = _plan(e)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tag_adds_no_exchange(tagged):
+    """Tag + route is a pure map stage: filter/project only, no shuffle."""
+    kept, _ = route(tagged)
+    assert "Exchange" not in _plan(kept)
+
+
+def test_tag_agg_single_exchange(tagged):
+    """Per-rule counts need exactly one shuffle (partial agg map-side)."""
+    plan = _plan(tagged.groupBy(MATCHED_RULE_COL).count())
+    assert plan.count("Exchange") == 1
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_salted_repartition_spreads_hot_conversation(spark, transcripts):
+    """Hot conv rows must land in >1 partition after salting (the skew
+    defense), while cold conversations stay co-located per salt bucket."""
+    hot = (
+        transcripts.groupBy("conv_id").count()
+        .orderBy(F.desc("count")).limit(1).collect()[0]
+    )
+    df = repartition_salted(transcripts, 16, buckets=8)
+    parts = (
+        df.where(F.col("conv_id") == hot["conv_id"])
+        .select(F.spark_partition_id().alias("p"))
+        .distinct()
+        .count()
+    )
+    assert parts > 1, f"hot conversation ({hot['count']} turns) not spread"

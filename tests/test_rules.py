@@ -147,3 +147,72 @@ class TestValidation:
 
     def test_good_config_passes(self):
         validate_config(RULES)
+
+
+class TestExcludeMatches:
+    """exclude_matches: documented in the reference README (README.md:279-281)
+    but absent from its Go code — implemented here as a working extension."""
+
+    YAML = """
+rules:
+  - name: drop-tools-except-editor
+    matches:
+      - {field_name: role, regex: "^tool$"}
+    exclude_matches:
+      - {field_name: tool, regex: "^editor$"}
+"""
+
+    def test_python_evaluator(self):
+        from ctlp_spark.rules import eval_rules_py, load_rules
+
+        cfg = load_rules(self.YAML)
+        assert eval_rules_py(cfg, {"role": "tool", "tool": "search"}) == \
+            "drop-tools-except-editor"
+        assert eval_rules_py(cfg, {"role": "tool", "tool": "editor"}) is None
+        # missing exclude field: exception cannot hold -> rule still fires
+        assert eval_rules_py(cfg, {"role": "tool"}) == "drop-tools-except-editor"
+        assert eval_rules_py(cfg, {"role": "user", "tool": "search"}) is None
+
+    @pytest.mark.parametrize("engine", ["native", "pandas"])
+    def test_spark_engines(self, spark, engine):
+        from ctlp_spark.operators.pipeline import MATCHED_RULE_COL, tag
+        from ctlp_spark.rules import load_rules
+
+        cfg = load_rules(self.YAML)
+        df = spark.createDataFrame(
+            [("tool", "search"), ("tool", "editor"), ("tool", None),
+             ("user", "search")],
+            "role string, tool string",
+        )
+        rows = tag(df, cfg, engine=engine).collect()
+        got = {(r.role, r.tool): r[MATCHED_RULE_COL] for r in rows}
+        assert got[("tool", "search")] == "drop-tools-except-editor"
+        assert got[("tool", "editor")] is None
+        # NULL exclude value cannot veto (missing-field semantics)
+        assert got[("tool", None)] == "drop-tools-except-editor"
+        assert got[("user", "search")] is None
+
+    def test_validation_covers_excludes(self):
+        from ctlp_spark.rules import RuleValidationError, load_rules
+
+        bad = """
+rules:
+  - name: r
+    matches: [{field_name: role, regex: "^a$"}]
+    exclude_matches: [{field_name: role, regex: "(.*)+x"}]
+"""
+        with pytest.raises(RuleValidationError):
+            load_rules(bad)
+
+
+def test_cached_config_loader(tmp_path):
+    from ctlp_spark.rules import CachedConfigLoader
+
+    p = tmp_path / "r.yaml"
+    p.write_text('rules:\n  - name: a\n    matches: [{field_name: x, regex: "^1$"}]\n')
+    loader = CachedConfigLoader(str(p), ttl_seconds=3600)
+    cfg1 = loader.load()
+    # change on disk: cached copy served until TTL or force
+    p.write_text('rules:\n  - name: b\n    matches: [{field_name: x, regex: "^2$"}]\n')
+    assert loader.load().rule_names == cfg1.rule_names == ["a"]
+    assert loader.load(force=True).rule_names == ["b"]
