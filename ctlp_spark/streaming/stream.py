@@ -63,14 +63,20 @@ def run_stream_pipeline(
     run per invocation, resumable via the checkpoint."""
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # Idempotent per-batch sinks: foreachBatch side-effects are not
+        # transactional with the checkpoint, so a batch killed mid-append
+        # would duplicate rows on replay. Writing each micro-batch to its
+        # own batch={id} directory with overwrite makes replay overwrite
+        # instead — exactly-once at the sink (the parquet stand-in for an
+        # Iceberg atomic commit keyed by batch id).
         tagged = tag(batch_df, cfg, engine=engine, json_columns=json_columns)
         kept, dropped = route(tagged)
         kept = enrich(kept, role_dim=role_dim, tool_dim=tool_dim)
-        kept.write.mode("append").parquet(f"{out_dir}/kept")
+        kept.write.mode("overwrite").parquet(f"{out_dir}/kept/batch={batch_id}")
         (
-            dropped.write.mode("append")
+            dropped.write.mode("overwrite")
             .partitionBy(MATCHED_RULE_COL)
-            .parquet(f"{out_dir}/dropped")
+            .parquet(f"{out_dir}/dropped/batch={batch_id}")
         )
 
     writer = (
