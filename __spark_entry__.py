@@ -426,6 +426,14 @@ def q_m2_decode_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode_media(M.media_from_docs(docs))
 
 
+def q_s5_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, label-blocked (dedup family)."""
+    from ctlp_spark.functions import ann as A
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return A.embedding_neardup_pairs(emb)
+
+
 def _ann_sql(kind: str) -> str:
     from ctlp_spark.functions import ann as A
 
@@ -434,6 +442,7 @@ def _ann_sql(kind: str) -> str:
         "ivf": A.sql_brute_force_topk(k=5, n_queries=10, same_label_only=True),
         "buckets": A.sql_lsh_buckets(),
         "band_cand": A.sql_lsh_band_candidates(),
+        "neardup": A.sql_embedding_neardup_pairs(),
     }[kind]
 
 
@@ -480,6 +489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_ann_ivf": q_s2_ann_ivf,
         "s3_lsh_buckets": q_s3_lsh_buckets,
         "s4_lsh_band_candidates": q_s4_lsh_band_candidates,
+        "s5_embed_neardup": q_s5_embed_neardup,
         "m1_media_metadata": q_m1_media_metadata,
         "m2_decode_media": q_m2_decode_media,
     }
@@ -507,5 +517,6 @@ def oracle_sql() -> dict[str, str]:
         "s2_ann_ivf": _ann_sql("ivf"),
         "s3_lsh_buckets": _ann_sql("buckets"),
         "s4_lsh_band_candidates": _ann_sql("band_cand"),
+        "s5_embed_neardup": _ann_sql("neardup"),
         "m1_media_metadata": _M1_SQL,
     }

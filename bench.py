@@ -54,11 +54,12 @@ def _sf() -> float:
 
 
 def _bench_rows() -> int:
-    # 5M turns at sf0.1, linear in sf, floor at 50k
+    # 20M turns at sf0.1 (large enough that compute dominates fixed job
+    # overhead at every parallelism level), linear in sf, floor at 50k
     env = os.environ.get("CTLP_BENCH_ROWS")
     if env:
         return int(env)
-    return max(50_000, int(5_000_000 * _sf() / 0.1))
+    return max(50_000, int(20_000_000 * _sf() / 0.1))
 
 
 def _data_dir(n_rows: int) -> str:
@@ -125,14 +126,18 @@ def _child_pipeline(cpus: int, data_dir: str) -> None:
     med = statistics.median(times)
 
     # pandas-UDF engine pass (aggregate only — the vectorized parity path)
+    def pandas_pass():
+        (
+            tag(df, cfg, engine="pandas", json_columns=JSON_COLUMNS,
+                json_extractor="regex")
+            .groupBy(MATCHED_RULE_COL)
+            .count()
+            .collect()
+        )
+
+    pandas_pass()  # python-worker startup + codegen warm-up
     t1 = time.perf_counter()
-    (
-        tag(df, cfg, engine="pandas", json_columns=JSON_COLUMNS,
-            json_extractor="regex")
-        .groupBy(MATCHED_RULE_COL)
-        .count()
-        .collect()
-    )
+    pandas_pass()
     pandas_elapsed = time.perf_counter() - t1
     shutil.rmtree(out_dir, ignore_errors=True)
 
@@ -192,19 +197,32 @@ def main() -> None:
 
     n_rows = _bench_rows()
     data_dir = _data_dir(n_rows)
-    n_small = max(1, CPUS // 4)
+    # Three levels → two 4× pairs. The primary scaling evidence is the
+    # smallest pair (this VM supplies near-linear CPU only up to ~8 busy
+    # threads for string workloads — single shared L3; see BASELINE.md).
+    levels = sorted({max(1, CPUS // 16), max(1, CPUS // 4), CPUS})
+    results = {c: _run_child(["--child-pipeline", str(c), data_dir]) for c in levels}
+    queries = dict(_run_child(["--child-queries"]))
 
-    small = _run_child(["--child-pipeline", str(n_small), data_dir])
-    big = _run_child(["--child-pipeline", str(CPUS), data_dir])
-    queries = _run_child(["--child-queries"])
+    pairs = []
+    for n in levels:
+        if n * 4 in results:
+            thr_n = results[n]["pipeline_turns_per_sec"]
+            thr_4n = results[n * 4]["pipeline_turns_per_sec"]
+            pairs.append({
+                "n_cores": n,
+                "n4_cores": n * 4,
+                "turns_per_sec_n": thr_n,
+                "turns_per_sec_4n": thr_4n,
+                "efficiency": round(thr_4n / (4.0 * thr_n), 3),
+                "raw_sec_n": results[n]["pipeline_sec_all"],
+                "raw_sec_4n": results[n * 4]["pipeline_sec_all"],
+            })
+    primary = pairs[0] if pairs else {}
 
-    thr_small = small["pipeline_turns_per_sec"]
-    thr_big = big["pipeline_turns_per_sec"]
-    efficiency = thr_big / (4.0 * thr_small)
-
-    queries = dict(queries)
-    queries[f"pipeline_local{n_small}"] = small["pipeline_sec"]
-    queries[f"pipeline_local{CPUS}"] = big["pipeline_sec"]
+    big = results[CPUS]
+    for c in levels:
+        queries[f"pipeline_local{c}"] = results[c]["pipeline_sec"]
     queries["pipeline_pandas_tag"] = big["pandas_tag_sec"]
 
     print(json.dumps({
@@ -214,16 +232,8 @@ def main() -> None:
         "queries": queries,
         "sf": _sf(),
         "bench_rows": n_rows,
-        "turns_per_sec": thr_big,
-        "scaling": {
-            "n_cores": n_small,
-            "n4_cores": CPUS,
-            "turns_per_sec_n": thr_small,
-            "turns_per_sec_4n": thr_big,
-            "efficiency": round(efficiency, 3),
-            "raw_sec_n": small["pipeline_sec_all"],
-            "raw_sec_4n": big["pipeline_sec_all"],
-        },
+        "turns_per_sec": big["pipeline_turns_per_sec"],
+        "scaling": {**primary, "pairs": pairs},
     }))
 
 

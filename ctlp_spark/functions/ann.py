@@ -229,3 +229,44 @@ bands AS ({band_rows})
 SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
 FROM bands x JOIN bands y USING (band_idx, band_key)
 WHERE x.vec_id < y.vec_id"""
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame, threshold_ppm: int = 350_000
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by label (the
+    precomputed cluster/IVF cell): the self-join shuffles on label only and
+    compares within cells — at 10^12 scale the blocking IS the algorithm;
+    raise the cell count, never the pair count."""
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
+        "label",
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
+        "label",
+    )
+    return (
+        a.join(b, "label")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            "label",
+            F.floor(cosine(F.col("ea"), F.col("eb")) * 1_000_000)
+            .cast("bigint")
+            .alias("cos_ppm"),
+        )
+        .where(F.col("cos_ppm") >= threshold_ppm)
+    )
+
+
+def sql_embedding_neardup_pairs(
+    t: str = "embeddings", threshold_ppm: int = 350_000, dim: int = DIM
+) -> str:
+    cos = sql_cosine("a.embedding", "b.embedding", dim)
+    return f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+       CAST(floor({cos} * 1000000) AS BIGINT) AS cos_ppm
+FROM {t} a JOIN {t} b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE CAST(floor({cos} * 1000000) AS BIGINT) >= {threshold_ppm}"""

@@ -162,6 +162,7 @@ def run_pipeline(
     fanout_partition_col: str = MATCHED_RULE_COL,
     kept_path: str | None = None,
     dropped_path: str | None = None,
+    sink_format: str = "parquet",
 ) -> PipelineResult:
     """End-to-end batch pipeline: tag → route → enrich(kept) → write sinks →
     exact counters from the committed sinks.
@@ -178,13 +179,27 @@ def run_pipeline(
 
     kept_path = kept_path or f"{out_dir}/{KEPT_DIR}"
     dropped_path = dropped_path or f"{out_dir}/{DROPPED_DIR}"
-    kept.write.mode(mode).parquet(kept_path)
-    (
-        dropped.write.mode(mode)
-        .partitionBy(fanout_partition_col)
-        .parquet(dropped_path)
+    if sink_format == "json":
+        # the reference's output format: gzip-compressed JSON records
+        # (cloudtrailprocessor.go:450-462); parquet is the scale default
+        kept.write.mode(mode).option("compression", "gzip").json(kept_path)
+        (
+            dropped.write.mode(mode)
+            .partitionBy(fanout_partition_col)
+            .option("compression", "gzip")
+            .json(dropped_path)
+        )
+    else:
+        kept.write.mode(mode).parquet(kept_path)
+        (
+            dropped.write.mode(mode)
+            .partitionBy(fanout_partition_col)
+            .parquet(dropped_path)
+        )
+    return sink_counts(
+        spark, out_dir, kept_path=kept_path, dropped_path=dropped_path,
+        sink_format=sink_format,
     )
-    return sink_counts(spark, out_dir, kept_path=kept_path, dropped_path=dropped_path)
 
 
 def sink_counts(
@@ -192,14 +207,16 @@ def sink_counts(
     out_dir: str,
     kept_path: str | None = None,
     dropped_path: str | None = None,
+    sink_format: str = "parquet",
 ) -> PipelineResult:
     """Exact per-sink counters read back from committed data (A1/A2 in
     SURVEY §2.3). Partition pruning makes the per-rule counts a
     metadata-cheap scan of the fan-out layout."""
     kept_path = kept_path or f"{out_dir}/{KEPT_DIR}"
     dropped_path = dropped_path or f"{out_dir}/{DROPPED_DIR}"
-    kept_n = spark.read.parquet(kept_path).count()
-    dropped_df = spark.read.parquet(dropped_path)
+    reader = spark.read.format(sink_format)
+    kept_n = reader.load(kept_path).count()
+    dropped_df = reader.load(dropped_path)
     hits = {
         row[MATCHED_RULE_COL]: row["count"]
         for row in dropped_df.groupBy(MATCHED_RULE_COL).count().collect()

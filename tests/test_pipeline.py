@@ -131,3 +131,42 @@ def test_route_drops_tag_from_kept(transcripts):
     kept, dropped = route(tag(transcripts, CFG, json_columns=JSON_COLUMNS))
     assert MATCHED_RULE_COL not in kept.columns
     assert MATCHED_RULE_COL in dropped.columns
+
+
+def test_gzip_json_sink(spark, transcripts, expected, tmp_path):
+    """The reference's output format (gzip JSON records,
+    cloudtrailprocessor.go:450-462) as an alternative sink; same exact
+    counters from committed data."""
+    import glob
+    import os
+
+    from ctlp_spark.gen import JSON_COLUMNS, default_rules
+    from ctlp_spark.operators.pipeline import run_pipeline
+
+    res = run_pipeline(
+        transcripts, default_rules(), str(tmp_path / "jout"),
+        json_columns=JSON_COLUMNS, sink_format="json",
+    )
+    assert res.kept == expected["kept"]
+    assert res.rule_hits == expected["rule_hits"]
+    files = glob.glob(str(tmp_path / "jout" / "kept" / "*.json.gz"))
+    assert files, os.listdir(tmp_path / "jout" / "kept")
+
+
+def test_observe_metrics(spark, transcripts, expected, tmp_path):
+    from ctlp_spark.gen import JSON_COLUMNS, default_rules
+    from ctlp_spark.metrics import RunMetrics, observe_tagged
+    from ctlp_spark.operators.pipeline import tag
+
+    tagged = tag(transcripts, default_rules(), json_columns=JSON_COLUMNS)
+    observed, obs = observe_tagged(tagged)
+    observed.write.mode("overwrite").parquet(str(tmp_path / "sink"))
+    got = obs.get
+    assert got["input_rows"] == expected["total"]
+    assert got["dropped_rows"] == expected["dropped"]
+    m = RunMetrics(job="t", input_rows=got["input_rows"],
+                   kept=got["kept_rows"], dropped=got["dropped_rows"])
+    m.write(str(tmp_path / "m.json"))
+    import json
+
+    assert json.load(open(tmp_path / "m.json"))["filter_rate"] > 0
