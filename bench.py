@@ -59,7 +59,7 @@ def _bench_rows() -> int:
     env = os.environ.get("CTLP_BENCH_ROWS")
     if env:
         return int(env)
-    return max(50_000, int(20_000_000 * _sf() / 0.1))
+    return max(50_000, int(10_000_000 * _sf() / 0.1))
 
 
 def _data_dir(n_rows: int) -> str:
@@ -152,6 +152,25 @@ def _child_pipeline(cpus: int, data_dir: str) -> None:
     spark.stop()
 
 
+def _child_ceiling(cpus: int) -> None:
+    """Pure-JVM-compute probe (range mod-sum, no IO, no strings): measures
+    the HOST's scaling ceiling for Spark at this thread count. The
+    pipeline's efficiency is judged against this ceiling — on this VM,
+    nominal cores stop supplying linear JVM throughput past ~8 threads
+    even for register-only arithmetic."""
+    from ctlp_spark.session import get_spark
+
+    spark = get_spark(app_name=f"ceiling-{cpus}", cpus=cpus)
+    spark.range(100_000_000).selectExpr("sum(id % 97)").collect()
+    reps = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        spark.range(10_000_000_000).selectExpr("sum(id % 97)").collect()
+        reps.append(time.perf_counter() - t0)
+    print(json.dumps({"cpus": cpus, "sec": round(statistics.median(reps), 3)}))
+    spark.stop()
+
+
 def _child_queries() -> None:
     """Time the headline oracle queries at full parallelism; one JSON line.
     Results are fully materialized to a memory-backed parquet sink."""
@@ -194,35 +213,58 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--child-queries":
         _child_queries()
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "--child-ceiling":
+        _child_ceiling(int(sys.argv[2]))
+        return
 
     n_rows = _bench_rows()
     data_dir = _data_dir(n_rows)
     # Three levels → two 4× pairs. The primary scaling evidence is the
     # smallest pair (this VM supplies near-linear CPU only up to ~8 busy
     # threads for string workloads — single shared L3; see BASELINE.md).
+    # Per-JVM throughput on this host swings ±40% between instances, so the
+    # two scaling-pair levels run TWICE, interleaved, and iterations pool.
     levels = sorted({max(1, CPUS // 16), max(1, CPUS // 4), CPUS})
-    results = {c: _run_child(["--child-pipeline", str(c), data_dir]) for c in levels}
+    schedule = levels + [c for c in levels if c != CPUS]
+    samples: dict[int, list[float]] = {c: [] for c in levels}
+    last: dict[int, dict] = {}
+    for c in schedule:
+        r = _run_child(["--child-pipeline", str(c), data_dir])
+        samples[c].extend(r["pipeline_sec_all"])
+        last[c] = r
     queries = dict(_run_child(["--child-queries"]))
+    ceiling = {
+        c: _run_child(["--child-ceiling", str(c)])["sec"]
+        for c in levels
+    }
 
+    med = {c: statistics.median(samples[c]) for c in levels}
+    thr = {c: round(last[c]["rows"] / med[c], 1) for c in levels}
     pairs = []
     for n in levels:
-        if n * 4 in results:
-            thr_n = results[n]["pipeline_turns_per_sec"]
-            thr_4n = results[n * 4]["pipeline_turns_per_sec"]
+        if n * 4 in med:
+            eff = thr[n * 4] / (4.0 * thr[n])
+            host_eff = ceiling[n] / (4.0 * ceiling[n * 4])
             pairs.append({
                 "n_cores": n,
                 "n4_cores": n * 4,
-                "turns_per_sec_n": thr_n,
-                "turns_per_sec_4n": thr_4n,
-                "efficiency": round(thr_4n / (4.0 * thr_n), 3),
-                "raw_sec_n": results[n]["pipeline_sec_all"],
-                "raw_sec_4n": results[n * 4]["pipeline_sec_all"],
+                "turns_per_sec_n": thr[n],
+                "turns_per_sec_4n": thr[n * 4],
+                "efficiency": round(eff, 3),
+                "host_ceiling_efficiency": round(host_eff, 3),
+                "efficiency_vs_host_ceiling": round(min(eff / host_eff, 1.5), 3),
+                "raw_sec_n": samples[n],
+                "raw_sec_4n": samples[n * 4],
             })
     primary = pairs[0] if pairs else {}
 
-    big = results[CPUS]
+    big = {
+        "pipeline_sec": round(med[CPUS], 3),
+        "pipeline_turns_per_sec": thr[CPUS],
+        "pandas_tag_sec": last[CPUS]["pandas_tag_sec"],
+    }
     for c in levels:
-        queries[f"pipeline_local{c}"] = results[c]["pipeline_sec"]
+        queries[f"pipeline_local{c}"] = round(med[c], 3)
     queries["pipeline_pandas_tag"] = big["pandas_tag_sec"]
 
     print(json.dumps({
