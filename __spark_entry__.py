@@ -339,6 +339,75 @@ def q_d6_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_near_pairs(docs)
 
 
+
+# ---------------------------------------------------------------------------
+# conversation-level queries (skew-safe aggregation, stable-order windows)
+# ---------------------------------------------------------------------------
+
+
+def q_c1_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation counters via two-phase (salted) aggregation — the
+    skew-safe groupBy pattern for hot conversations."""
+    from ctlp_spark.operators.conversation import conversation_stats
+
+    df = transcripts_from_events(spark, sf_dir)
+    st = conversation_stats(df)
+    return st.select(
+        "conv_id", "n_turns", "n_tool_turns",
+        F.unix_micros(F.col("first_ts").cast("timestamp")).alias("first_ts_us"),
+        F.unix_micros(F.col("last_ts").cast("timestamp")).alias("last_ts_us"),
+    )
+
+
+_C1_SQL = f"""
+WITH t AS ({TRANSCRIPTS_SQL_DUCKDB})
+SELECT conv_id, count(*) AS n_turns,
+       sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS n_tool_turns,
+       epoch_us(min(ts)) AS first_ts_us,
+       epoch_us(max(ts)) AS last_ts_us
+FROM t GROUP BY conv_id"""
+
+
+def q_c2_turn_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-turn latency under stable (conv_id, turn_idx) window ordering."""
+    from ctlp_spark.operators.conversation import turn_deltas
+
+    return turn_deltas(transcripts_from_events(spark, sf_dir))
+
+
+_C2_SQL = f"""
+WITH t AS ({TRANSCRIPTS_SQL_DUCKDB})
+SELECT conv_id, turn_idx, role,
+       epoch_us(ts) - lag(epoch_us(ts)) OVER (
+         PARTITION BY conv_id ORDER BY turn_idx) AS delta_us
+FROM t"""
+
+
+def q_c3_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization within conversations (5-minute gap)."""
+    from ctlp_spark.operators.conversation import sessionize
+
+    return sessionize(transcripts_from_events(spark, sf_dir))
+
+
+_C3_SQL = f"""
+WITH t AS ({TRANSCRIPTS_SQL_DUCKDB}),
+g AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                   IS NULL THEN 0
+              WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (
+                   PARTITION BY conv_id ORDER BY turn_idx)) > {5*60*1000000}
+                   THEN 1 ELSE 0 END AS new_session
+  FROM t
+)
+SELECT conv_id, turn_idx,
+       CAST(sum(new_session) OVER (PARTITION BY conv_id ORDER BY turn_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       AS session_idx
+FROM g"""
+
+
 def _dedup_sql(kind: str) -> str:
     from ctlp_spark.functions import dedup as D
 
@@ -492,6 +561,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s5_embed_neardup": q_s5_embed_neardup,
         "m1_media_metadata": q_m1_media_metadata,
         "m2_decode_media": q_m2_decode_media,
+        "c1_conv_stats": q_c1_conv_stats,
+        "c2_turn_deltas": q_c2_turn_deltas,
+        "c3_sessionize": q_c3_sessionize,
     }
 
 
@@ -519,4 +591,7 @@ def oracle_sql() -> dict[str, str]:
         "s4_lsh_band_candidates": _ann_sql("band_cand"),
         "s5_embed_neardup": _ann_sql("neardup"),
         "m1_media_metadata": _M1_SQL,
+        "c1_conv_stats": _C1_SQL,
+        "c2_turn_deltas": _C2_SQL,
+        "c3_sessionize": _C3_SQL,
     }

@@ -1,0 +1,97 @@
+"""Conversation-level operators over the transcript table.
+
+The reference is strictly per-record; these are the graft's
+per-conversation extensions, built to survive hot-conversation skew at
+10^12 turns:
+
+* ``conversation_stats`` — explicit two-phase aggregation: partial
+  aggregate on (conv_id, salt) first, then final on conv_id. For
+  ALGEBRAIC aggregates (count/min/max/sum) Spark's map-side partial
+  aggregation already bounds hot-key state, so this adds one exchange for
+  nothing — but it is the required template for HOLISTIC aggregations
+  (collect_list, exact percentiles, count-distinct) where map-side combine
+  cannot reduce, and the counters here double as the tested reference for
+  that pattern (results proven equal to the naive groupBy).
+* ``turn_deltas`` — per-turn response latency via lag() under the stable
+  (conv_id, turn_idx) window ordering (the north rule's comparison order).
+* ``sessionize`` — gap-based session ids inside a conversation
+  (new session when the gap to the previous turn exceeds the threshold):
+  a window sum over gap indicators — the standard streaming-free
+  sessionization formulation.
+
+Window operators DO shuffle on conv_id and place each conversation in one
+partition — unavoidable for exact per-conversation ordering. At 10^12
+turns this is safe because per-conversation state is O(turns of one
+conversation) and Spark spills; the skew cost is bounded by the largest
+single conversation, not the hot-key share of the table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def conversation_stats(
+    df: DataFrame, salt_buckets: int = 16, salt_source: str = "turn_idx"
+) -> DataFrame:
+    """Per-conversation counters via skew-safe two-phase aggregation."""
+    salt = F.pmod(F.xxhash64(F.col(salt_source)), F.lit(salt_buckets))
+    partial = (
+        df.groupBy("conv_id", salt.alias("_salt"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("role") == "tool", 1).otherwise(0)).alias("n_tool"),
+            F.min("ts").alias("ts_min"),
+            F.max("ts").alias("ts_max"),
+        )
+    )
+    return (
+        partial.groupBy("conv_id")
+        .agg(
+            F.sum("n").alias("n_turns"),
+            F.sum("n_tool").alias("n_tool_turns"),
+            F.min("ts_min").alias("first_ts"),
+            F.max("ts_max").alias("last_ts"),
+        )
+    )
+
+
+def turn_deltas(df: DataFrame) -> DataFrame:
+    """Per-turn latency: seconds since the previous turn of the same
+    conversation under stable (conv_id, turn_idx) ordering; NULL for the
+    first turn."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    prev_ts = F.lag(F.col("ts")).over(w)
+    return df.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(prev_ts.cast("timestamp"))
+        ).alias("delta_us"),
+    )
+
+
+def sessionize(df: DataFrame, gap_minutes: int = 5) -> DataFrame:
+    """Gap-based sessions within a conversation: session_idx increments
+    whenever the gap to the previous turn exceeds ``gap_minutes``."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    gap_us = F.lit(gap_minutes * 60 * 1_000_000)
+    prev_ts = F.lag(F.col("ts")).over(w)
+    new_session = F.when(prev_ts.isNull(), F.lit(0)).otherwise(
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(prev_ts.cast("timestamp"))
+            > gap_us
+        ).cast("int")
+    )
+    running = Window.partitionBy("conv_id").orderBy("turn_idx").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.select(
+        "conv_id",
+        "turn_idx",
+        F.sum(new_session).over(running).cast("bigint").alias("session_idx"),
+    )

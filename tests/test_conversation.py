@@ -1,0 +1,51 @@
+"""Conversation-level operators: two-phase agg equivalence, window order."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ctlp_spark.operators.conversation import (
+    conversation_stats,
+    sessionize,
+    turn_deltas,
+)
+
+
+def test_two_phase_agg_equals_naive(spark, transcripts):
+    two = conversation_stats(transcripts)
+    naive = transcripts.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        F.sum(F.when(F.col("role") == "tool", 1).otherwise(0)).alias("n_tool_turns"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+    assert two.exceptAll(naive).count() == 0
+    assert naive.exceptAll(two).count() == 0
+
+
+def test_turn_deltas_first_turn_null(spark, transcripts):
+    d = turn_deltas(transcripts)
+    firsts = d.where(F.col("turn_idx") == 0)
+    assert firsts.where(F.col("delta_us").isNotNull()).count() == 0
+    # generator spaces turns 7s apart within a conversation
+    rest = d.where(F.col("turn_idx") > 0).select("delta_us").distinct().collect()
+    assert {r.delta_us for r in rest} == {7_000_000}
+
+
+def test_sessionize_monotone_and_dense(spark, transcripts):
+    s = sessionize(transcripts, gap_minutes=5)
+    # 7s gaps -> single session everywhere in the fixture corpus
+    assert s.where(F.col("session_idx") != 0).count() == 0
+    # synthetic gap: push one turn 10 minutes later
+    df = transcripts.withColumn(
+        "ts",
+        F.when(
+            (F.col("conv_id") == "conv-00000000") & (F.col("turn_idx") >= 2),
+            F.col("ts") + F.expr("INTERVAL 10 MINUTES"),
+        ).otherwise(F.col("ts")),
+    )
+    s2 = sessionize(df, gap_minutes=5)
+    conv0 = {r.turn_idx: r.session_idx for r in s2.where(
+        F.col("conv_id") == "conv-00000000").collect()}
+    if len(conv0) >= 3:
+        assert conv0[0] == 0 and conv0[1] == 0 and conv0[2] == 1
