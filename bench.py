@@ -139,6 +139,28 @@ def _child_pipeline(cpus: int, data_dir: str) -> None:
     t1 = time.perf_counter()
     pandas_pass()
     pandas_elapsed = time.perf_counter() - t1
+
+    # full pipeline through the pandas/Arrow engine (input_hint parity path)
+    # — timed only at full parallelism to bound bench runtime
+    pandas_pipeline = None
+    if cpus >= CPUS:
+        def run_pandas_pipeline() -> float:
+            t0 = time.perf_counter()
+            tagged = tag(df, cfg, engine="pandas", json_columns=JSON_COLUMNS,
+                         json_extractor="regex")
+            kept, dropped = route(tagged)
+            enrich(kept, role_dim=role_dim, tool_dim=tool_dim).write.mode(
+                "overwrite"
+            ).parquet(f"{out_dir}/kept_pd")
+            (
+                dropped.write.mode("overwrite")
+                .partitionBy(MATCHED_RULE_COL)
+                .parquet(f"{out_dir}/dropped_pd")
+            )
+            return time.perf_counter() - t0
+
+        run_pandas_pipeline()
+        pandas_pipeline = round(run_pandas_pipeline(), 3)
     shutil.rmtree(out_dir, ignore_errors=True)
 
     print(json.dumps({
@@ -148,6 +170,7 @@ def _child_pipeline(cpus: int, data_dir: str) -> None:
         "pipeline_sec_all": [round(t, 3) for t in times],
         "pipeline_turns_per_sec": round(n_rows / med, 1),
         "pandas_tag_sec": round(pandas_elapsed, 3),
+        "pandas_pipeline_sec": pandas_pipeline,
     }))
     spark.stop()
 
@@ -266,6 +289,8 @@ def main() -> None:
     for c in levels:
         queries[f"pipeline_local{c}"] = round(med[c], 3)
     queries["pipeline_pandas_tag"] = big["pandas_tag_sec"]
+    if last[CPUS].get("pandas_pipeline_sec") is not None:
+        queries["pipeline_pandas_full"] = last[CPUS]["pandas_pipeline_sec"]
 
     print(json.dumps({
         "metric": "filter_enrich_route_pipeline_sec",

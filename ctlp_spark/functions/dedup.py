@@ -376,3 +376,43 @@ cand AS (
 )
 SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
 FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= {max_hamming}"""
+
+
+def jaccard_on_candidates(
+    docs: DataFrame,
+    candidates: DataFrame,
+    n: int = 3,
+    threshold_ppm: int = 300_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact Jaccard verification restricted to candidate pairs — the
+    LSH→verify composition that replaces the quadratic shingle self-join at
+    scale. Shingle SETS are joined to the (doc_a, doc_b) pair list (two
+    hash joins keyed on doc id) and intersected per pair with
+    array_intersect — no explode, no pair blow-up beyond the candidates."""
+    sets = docs.select(
+        F.col(id_col).alias("doc"), shingles(F.col(text_col), n).alias("sh")
+    )
+    joined = (
+        candidates.join(
+            sets.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            sets.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b")),
+            "doc_b",
+        )
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        joined.select(
+            "doc_a",
+            "doc_b",
+            inter.cast("bigint").alias("inter"),
+            union.cast("bigint").alias("union_sz"),
+            F.floor((inter * 1_000_000) / union).cast("bigint").alias("jaccard_ppm"),
+        )
+        .where(F.col("jaccard_ppm") >= threshold_ppm)
+    )

@@ -1,0 +1,52 @@
+"""Dedup composition: LSH blocking → exact Jaccard verification."""
+
+from __future__ import annotations
+
+import pytest
+
+from ctlp_spark.functions import dedup as D
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+def test_jaccard_on_candidates_matches_full_join(spark, docs):
+    """Verifying only LSH candidates must give exactly the full self-join
+    result restricted to those candidates (same inter/union/ppm)."""
+    cand = D.lsh_candidate_pairs(docs)
+    via_cand = {
+        (r.doc_a, r.doc_b): (r.inter, r.union_sz, r.jaccard_ppm)
+        for r in D.jaccard_on_candidates(docs, cand, threshold_ppm=0).collect()
+    }
+    full = {
+        (r.doc_a, r.doc_b): (r.inter, r.union_sz, r.jaccard_ppm)
+        for r in D.ngram_jaccard_pairs(docs, threshold_ppm=0).collect()
+    }
+    cand_pairs = {(r.doc_a, r.doc_b) for r in cand.collect()}
+    assert set(via_cand) == cand_pairs
+    for pair, vals in via_cand.items():
+        # full join omits pairs with zero shared shingles (no join row)
+        if pair in full:
+            assert full[pair] == vals
+        else:
+            assert vals[0] == 0
+
+
+def test_lsh_recall_of_high_jaccard_pairs(spark, docs):
+    """LSH (12 hashes, 3 bands of 4) must catch most truly-similar pairs:
+    with per-row collision prob s^4 per band, a 0.5-Jaccard pair collides
+    with p ≈ 1-(1-0.0625)^3 ≈ 0.18 — on this corpus every >=0.3-Jaccard
+    pair happens to share a band; assert >=60% recall to stay robust."""
+    true_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in D.ngram_jaccard_pairs(docs, threshold_ppm=300_000).collect()
+    }
+    if not true_pairs:
+        pytest.skip("no high-jaccard pairs in corpus")
+    cand = {(r.doc_a, r.doc_b) for r in D.lsh_candidate_pairs(docs).collect()}
+    recall = len(true_pairs & cand) / len(true_pairs)
+    assert recall >= 0.6, f"LSH recall {recall:.2f} over {len(true_pairs)} pairs"

@@ -75,3 +75,15 @@ def test_lineage_column(spark, split_inputs):
     vals = df.select("_src_file").distinct().collect()
     assert len(vals) == 1
     assert vals[0][0].endswith("transcripts.parquet")
+
+
+def test_iceberg_source_gated(spark):
+    """The Iceberg path must fail loudly (not mysteriously) without the
+    runtime jar — this image ships none (SURVEY.md §8 known gaps)."""
+    import pytest as _pytest
+
+    from ctlp_spark.sources.io import iceberg_available, read_transcripts
+
+    assert iceberg_available(spark) is False
+    with _pytest.raises(RuntimeError, match="Iceberg runtime jar"):
+        read_transcripts(spark, "iceberg:db.transcripts")

@@ -216,3 +216,30 @@ def test_cached_config_loader(tmp_path):
     p.write_text('rules:\n  - name: b\n    matches: [{field_name: x, regex: "^2$"}]\n')
     assert loader.load().rule_names == cfg1.rule_names == ["a"]
     assert loader.load(force=True).rule_names == ["b"]
+
+
+def test_dryrun_golden_counts():
+    """Twin of the reference's DryRun aggregation golden test
+    (pkg/rules/versioned_test.go:259-302): 4 sample events ->
+    FilteredCount=3, PassedCount=1, FilterRate=0.75, per-rule hits {2,1}."""
+    from ctlp_spark.rules import dry_run, load_rules
+
+    cfg = load_rules("""
+rules:
+  - name: rule-a
+    matches: [{field_name: eventName, regex: "^Describe"}]
+  - name: rule-b
+    matches: [{field_name: eventSource, regex: "^kms"}]
+""")
+    events = [
+        {"eventName": "DescribeInstances", "eventSource": "ec2.amazonaws.com"},
+        {"eventName": "DescribeKey", "eventSource": "kms.amazonaws.com"},  # first-match -> rule-a
+        {"eventName": "Decrypt", "eventSource": "kms.amazonaws.com"},
+        {"eventName": "PutObject", "eventSource": "s3.amazonaws.com"},
+    ]
+    res = dry_run(cfg, events)
+    assert res.total_events == 4
+    assert res.filtered_count == 3
+    assert res.passed_count == 1
+    assert res.filter_rate == 0.75
+    assert res.rule_hits == {"rule-a": 2, "rule-b": 1}
