@@ -33,7 +33,11 @@ def iceberg_available(spark: SparkSession) -> bool:
     """True if an Iceberg catalog is usable in this session (needs the
     iceberg-spark-runtime jar; not present in this image)."""
     try:
-        spark._jvm.org.apache.iceberg.spark.SparkCatalog  # noqa: SLF001
+        # a bare _jvm attribute walk returns a lazy JavaPackage and never
+        # raises — must force actual classloading
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
         return True
     except Exception:
         return False
