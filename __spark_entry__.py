@@ -378,8 +378,8 @@ def q_c2_turn_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
 _C2_SQL = f"""
 WITH t AS ({TRANSCRIPTS_SQL_DUCKDB})
 SELECT conv_id, turn_idx, role,
-       epoch_us(ts) - lag(epoch_us(ts)) OVER (
-         PARTITION BY conv_id ORDER BY turn_idx) AS delta_us
+       coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+         PARTITION BY conv_id ORDER BY turn_idx), -1) AS delta_us
 FROM t"""
 
 
@@ -406,6 +406,29 @@ SELECT conv_id, turn_idx,
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
        AS session_idx
 FROM g"""
+
+
+def q_c4_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time rollup: per-hour per-sink counts (the batch twin of the
+    streaming windowed counters; date_trunc + two-key aggregation)."""
+    tagged = _tagged(spark, sf_dir, "native")
+    return (
+        tagged.groupBy(
+            F.unix_micros(
+                F.date_trunc("hour", F.col("ts").cast("timestamp"))
+            ).alias("hour_us"),
+            F.coalesce(MATCHED_RULE_COL, F.lit("kept")).alias("sink"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+_C4_SQL = (
+    _ORACLE_PRELUDE
+    + f"""SELECT epoch_us(date_trunc('hour', ts)) AS hour_us,
+coalesce({MATCHED_RULE_COL}, 'kept') AS sink, count(*) AS n
+FROM tagged GROUP BY 1, 2"""
+)
 
 
 def _dedup_sql(kind: str) -> str:
@@ -564,6 +587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c1_conv_stats": q_c1_conv_stats,
         "c2_turn_deltas": q_c2_turn_deltas,
         "c3_sessionize": q_c3_sessionize,
+        "c4_hourly_rollup": q_c4_hourly_rollup,
     }
 
 
@@ -594,4 +618,5 @@ def oracle_sql() -> dict[str, str]:
         "c1_conv_stats": _C1_SQL,
         "c2_turn_deltas": _C2_SQL,
         "c3_sessionize": _C3_SQL,
+        "c4_hourly_rollup": _C4_SQL,
     }

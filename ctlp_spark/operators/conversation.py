@@ -58,19 +58,22 @@ def conversation_stats(
 
 
 def turn_deltas(df: DataFrame) -> DataFrame:
-    """Per-turn latency: seconds since the previous turn of the same
-    conversation under stable (conv_id, turn_idx) ordering; NULL for the
-    first turn."""
+    """Per-turn latency: microseconds since the previous turn of the same
+    conversation under stable (conv_id, turn_idx) ordering; -1 sentinel
+    for the first turn."""
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     prev_ts = F.lag(F.col("ts")).over(w)
+    delta = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        prev_ts.cast("timestamp")
+    )
+    # -1 sentinel instead of NULL for the first turn: keeps the column
+    # non-nullable end-to-end (a nullable int degrades to float64 + NaN in
+    # any pandas/Arrow hop, breaking cross-engine value comparison)
     return df.select(
         "conv_id",
         "turn_idx",
         "role",
-        (
-            F.unix_micros(F.col("ts").cast("timestamp"))
-            - F.unix_micros(prev_ts.cast("timestamp"))
-        ).alias("delta_us"),
+        F.coalesce(delta, F.lit(-1)).cast("bigint").alias("delta_us"),
     )
 
 

@@ -23,10 +23,10 @@ def test_two_phase_agg_equals_naive(spark, transcripts):
     assert naive.exceptAll(two).count() == 0
 
 
-def test_turn_deltas_first_turn_null(spark, transcripts):
+def test_turn_deltas_first_turn_sentinel(spark, transcripts):
     d = turn_deltas(transcripts)
     firsts = d.where(F.col("turn_idx") == 0)
-    assert firsts.where(F.col("delta_us").isNotNull()).count() == 0
+    assert firsts.where(F.col("delta_us") != -1).count() == 0
     # generator spaces turns 7s apart within a conversation
     rest = d.where(F.col("turn_idx") > 0).select("delta_us").distinct().collect()
     assert {r.delta_us for r in rest} == {7_000_000}
