@@ -114,3 +114,60 @@ def windowed_rule_counts(
         .agg(F.count("*").alias("n"))
         .select(F.col("w.start").alias("w_start"), "sink", "n")
     )
+
+
+CONV_STATE_SCHEMA = "n_turns bigint, n_tool bigint, first_ts_us bigint, last_ts_us bigint"
+CONV_OUT_SCHEMA = (
+    "conv_id string, n_turns bigint, n_tool bigint, "
+    "first_ts_us bigint, last_ts_us bigint"
+)
+
+
+def stateful_conversation_stats(stream_df: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): running
+    per-conversation counters maintained across micro-batches.
+
+    The reference has no stateful operator at all (its only state is the
+    config cache, SURVEY.md §2.8); this is the graft's custom-operator
+    demonstration: grouped state keyed by conv_id, Arrow-batched updates,
+    processing-time timeout left off (bounded drains) — the pattern scales
+    because state is O(1) per conversation and Spark shards it by group key
+    (salting does NOT apply: state must see every turn of its conversation;
+    skew cost is bounded by per-turn O(1) updates)."""
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.streaming.state import (  # noqa: PLC0415
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        n = n_tool = 0
+        first = last = None
+        if state.exists:
+            n, n_tool, first, last = state.get
+        for pdf in pdf_iter:
+            n += len(pdf)
+            n_tool += int((pdf["role"] == "tool").sum())
+            ts_us = pd.to_datetime(pdf["ts"]).astype("int64") // 1000
+            lo, hi = int(ts_us.min()), int(ts_us.max())
+            first = lo if first is None else min(first, lo)
+            last = hi if last is None else max(last, hi)
+        state.update((n, n_tool, first, last))
+        yield pd.DataFrame({
+            "conv_id": [key[0]],
+            "n_turns": [n],
+            "n_tool": [n_tool],
+            "first_ts_us": [first],
+            "last_ts_us": [last],
+        })
+
+    return (
+        stream_df.groupBy("conv_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=CONV_OUT_SCHEMA,
+            stateStructType=CONV_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -146,3 +146,49 @@ def test_windowed_counts_semantics(spark, stream_src, tmp_path):
     for sink, n in emitted.items():
         cap = batch.passed_count if sink == "kept" else batch.rule_hits.get(sink, 0)
         assert n <= cap
+
+
+def test_stateful_conversation_stats(spark, stream_src, tmp_path):
+    """applyInPandasWithState running per-conversation counters: after the
+    backlog drains (two micro-batches so state carries over), the LAST
+    update per conversation equals the batch groupBy."""
+    from pyspark.sql import functions as F2
+
+    from ctlp_spark.streaming.stream import (
+        read_transcript_stream,
+        stateful_conversation_stats,
+    )
+
+    out = str(tmp_path / "state_out")
+    q = (
+        stateful_conversation_stats(
+            read_transcript_stream(spark, stream_src, max_files_per_trigger=2)
+        )
+        .writeStream.outputMode("update")
+        .foreachBatch(
+            lambda bdf, bid: bdf.write.mode("append").parquet(out)
+        )
+        .option("checkpointLocation", str(tmp_path / "state_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # updates accumulate per batch; the max n_turns per conv is the final
+    got = {
+        r.conv_id: (r.n_turns, r.n_tool)
+        for r in spark.read.parquet(out)
+        .groupBy("conv_id")
+        .agg(F2.max("n_turns").alias("n_turns"), F2.max("n_tool").alias("n_tool"))
+        .collect()
+    }
+    exp = {
+        r.conv_id: (r.n_turns, r.n_tool)
+        for r in spark.read.parquet(stream_src)
+        .groupBy("conv_id")
+        .agg(
+            F2.count("*").alias("n_turns"),
+            F2.sum(F2.when(F2.col("role") == "tool", 1).otherwise(0)).alias("n_tool"),
+        )
+        .collect()
+    }
+    assert got == exp
