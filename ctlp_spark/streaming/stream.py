@@ -34,15 +34,22 @@ def read_transcript_stream(
     path: str,
     schema: str = TRANSCRIPT_DDL,
     max_files_per_trigger: int | None = None,
+    with_lineage: bool = False,
 ) -> DataFrame:
     """File-source stream over a directory of transcript parquet files.
     ``maxFilesPerTrigger`` bounds micro-batch size (backpressure — the
     analogue of the reference's O(1)-memory scanner sizing,
-    streaming.go:113-121)."""
+    streaming.go:113-121). ``with_lineage`` carries the source file per row
+    (the per-partition lineage of the north rule, streaming side)."""
     reader = spark.readStream.schema(schema).format("parquet")
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.load(path)
+    df = reader.load(path)
+    if with_lineage:
+        from ctlp_spark.sources.io import LINEAGE_COL
+
+        df = df.withColumn(LINEAGE_COL, F.input_file_name())
+    return df
 
 
 def run_stream_pipeline(

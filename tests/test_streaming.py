@@ -41,7 +41,7 @@ def test_stream_matches_batch(spark, stream_src, tmp_path):
     cfg = default_rules()
     out = str(tmp_path / "out")
     q = run_stream_pipeline(
-        read_transcript_stream(spark, stream_src),
+        read_transcript_stream(spark, stream_src, with_lineage=True),
         cfg,
         out,
         str(tmp_path / "ckpt"),
@@ -58,6 +58,13 @@ def test_stream_matches_batch(spark, stream_src, tmp_path):
     )
     assert kept == batch.passed_count
     assert hits == batch.rule_hits
+    # per-row lineage survived routing: every kept row names its source file
+    from ctlp_spark.sources.io import LINEAGE_COL
+
+    kept_df = spark.read.parquet(f"{out}/kept")
+    assert LINEAGE_COL in kept_df.columns
+    n_files = kept_df.select(LINEAGE_COL).distinct().count()
+    assert n_files == 3
 
 
 def test_stream_resume_is_exactly_once(spark, stream_src, tmp_path):
