@@ -1,0 +1,84 @@
+"""Property-based equivalence: pure-Python evaluator ≡ native Catalyst
+compiler ≡ pandas/Arrow UDF compiler, over random rule sets × random
+records. (The reference's README claims fuzz testing but ships none —
+SURVEY.md §5.1; this supplies it.)
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from ctlp_spark.operators.pipeline import MATCHED_RULE_COL, tag
+from ctlp_spark.rules import RuleConfig, Match, Rule, eval_rules_py
+
+# regex pool: RE2-safe subset, mixes anchors, alternation, classes,
+# quantifiers, empty-matchable patterns
+PATTERNS = [
+    "^tool$", "^(search|browser)$", "ERROR", "^sys", "o+l", "^$",
+    "a|b", "[st]e", "time.ut", ".*", "^user", "r$",
+]
+FIELDS = ["role", "tool", "text", "missing_col"]
+VALUES = [
+    None, "", "tool", "user", "system", "search", "browser",
+    "ERROR: timeout", "search the web", "sel", "ab", "r",
+]
+
+rules_st = st.lists(
+    st.tuples(
+        st.lists(
+            st.tuples(st.sampled_from(FIELDS), st.sampled_from(PATTERNS)),
+            min_size=1, max_size=2,
+        ),
+        st.lists(
+            st.tuples(st.sampled_from(FIELDS), st.sampled_from(PATTERNS)),
+            min_size=0, max_size=1,
+        ),
+    ),
+    min_size=1, max_size=3,
+)
+records_st = st.lists(
+    st.tuples(
+        st.sampled_from(VALUES), st.sampled_from(VALUES), st.sampled_from(VALUES)
+    ),
+    min_size=1, max_size=8,
+)
+
+
+def _cfg(raw) -> RuleConfig:
+    return RuleConfig(rules=tuple(
+        Rule(
+            name=f"rule-{i}",
+            matches=tuple(Match(f, p) for f, p in matches),
+            exclude_matches=tuple(Match(f, p) for f, p in excludes),
+        )
+        for i, (matches, excludes) in enumerate(raw)
+    ))
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(raw_rules=rules_st, raw_records=records_st)
+def test_three_evaluators_agree(spark, raw_rules, raw_records):
+    cfg = _cfg(raw_rules)
+    records = [
+        {k: v for k, v in zip(("role", "tool", "text"), rec) if v is not None}
+        for rec in raw_records
+    ]
+    expected = [eval_rules_py(cfg, r) for r in records]
+
+    df = spark.createDataFrame(
+        [(i, *rec) for i, rec in enumerate(raw_records)],
+        "i int, role string, tool string, text string",
+    )
+    for engine in ("native", "pandas"):
+        got_rows = tag(df, cfg, engine=engine).select("i", MATCHED_RULE_COL).collect()
+        got = [None] * len(records)
+        for r in got_rows:
+            got[r["i"]] = r[MATCHED_RULE_COL]
+        assert got == expected, (engine, cfg, records)
