@@ -130,7 +130,7 @@ def ngram_jaccard_pairs(
     engine-independent). At 100 TB this runs on LSH candidates only."""
     sh = docs.select(
         F.col(id_col).alias("doc"), F.explode(shingles(F.col(text_col), n)).alias("sh")
-    )
+    ).cache()  # reused 3× (both self-join sides + sizes); avoids re-shingling
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     pairs = (
         sh.alias("a")
