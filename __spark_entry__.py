@@ -47,22 +47,26 @@ tagged AS (
 )
 """
 
+# weight_milli is the oracle-facing integer twin of weight: the driver's
+# value-hash compare needs exact integers, never engine-order-dependent
+# double sums (see memory: driver-oracle-gotchas / CLAUDE.md invariants).
 _ROLE_DIM_ROWS = [
-    ("user", "human", 1.0),
-    ("assistant", "model", 1.0),
-    ("tool", "infra", 0.5),
-    ("system", "infra", 0.1),
+    ("user", "human", 1.0, 1000),
+    ("assistant", "model", 1.0, 1000),
+    ("tool", "infra", 0.5, 500),
+    ("system", "infra", 0.1, 100),
 ]
 _ROLE_DIM_SQL = (
     "(VALUES "
-    + ", ".join(f"('{r}', '{c}', {w})" for r, c, w in _ROLE_DIM_ROWS)
-    + ") AS role_dim(role, role_class, weight)"
+    + ", ".join(f"('{r}', '{c}', {w}, {m})" for r, c, w, m in _ROLE_DIM_ROWS)
+    + ") AS role_dim(role, role_class, weight, weight_milli)"
 )
 
 
 def _role_dim(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(
-        _ROLE_DIM_ROWS, "role string, role_class string, weight double"
+        _ROLE_DIM_ROWS,
+        "role string, role_class string, weight double, weight_milli bigint",
     )
 
 
@@ -145,14 +149,17 @@ def q_j1_enrich_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     enriched = enrich(kept, role_dim=_role_dim(spark))
     return enriched.groupBy("role_class").agg(
         F.count("*").alias("n"),
-        F.round(F.sum("weight"), 3).alias("total_weight"),
+        F.sum("weight_milli").cast("bigint").alias("total_weight_milli"),
     )
 
 
+# CAST(sum(...) AS BIGINT): DuckDB sums of integers are HUGEINT, which
+# pandas renders as float64 and the driver's value hash then mismatches
+# Spark's bigint (round-1 c1 failure mode).
 _ENRICH_SQL = (
     _ORACLE_PRELUDE
     + f"""SELECT role_class, count(*) AS n,
-round(sum(weight), 3) AS total_weight
+CAST(sum(weight_milli) AS BIGINT) AS total_weight_milli
 FROM tagged LEFT JOIN {_ROLE_DIM_SQL} USING (role)
 WHERE {MATCHED_RULE_COL} IS NULL
 GROUP BY role_class"""
@@ -166,9 +173,9 @@ def q_a2_dryrun_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("total_events"),
         F.count(MATCHED_RULE_COL).alias("filtered_count"),
         (F.count("*") - F.count(MATCHED_RULE_COL)).alias("passed_count"),
-        F.round(F.count(MATCHED_RULE_COL) / F.count("*"), 6).alias(
-            "filter_rate"
-        ),
+        F.floor(F.count(MATCHED_RULE_COL) * 1_000_000 / F.count("*"))
+        .cast("bigint")
+        .alias("filter_rate_ppm"),
     )
 
 
@@ -177,7 +184,8 @@ _DRYRUN_SQL = (
     + f"""SELECT count(*) AS total_events,
 count({MATCHED_RULE_COL}) AS filtered_count,
 count(*) - count({MATCHED_RULE_COL}) AS passed_count,
-round(count({MATCHED_RULE_COL}) / count(*), 6) AS filter_rate
+CAST(floor(count({MATCHED_RULE_COL}) * 1000000 / count(*)) AS BIGINT)
+  AS filter_rate_ppm
 FROM tagged"""
 )
 
@@ -297,8 +305,9 @@ def q_d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_d2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard near-dup pairs (shingle self-join; at 100 TB
-    this runs on LSH candidates only — see d4)."""
+    """Exact 3-gram Jaccard near-dup pairs — small-SF GROUND TRUTH only.
+    The shingle self-join is quadratic in colliding docs; the production
+    path at scale is d7_neardup_pipeline (LSH blocking → verify)."""
     from ctlp_spark.functions import dedup as D
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -324,7 +333,7 @@ def q_d4_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_d5_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash signature per document."""
+    """64-bit SimHash signature per document."""
     from ctlp_spark.functions import dedup as D
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -332,11 +341,22 @@ def q_d5_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_d6_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 8-bit-chunk banding then exact hamming ≤ 3."""
+    """SimHash near-dup pairs: 16-bit-chunk banding then exact hamming ≤ 3
+    (pigeonhole-exact; selective 65536-value chunk keys)."""
     from ctlp_spark.functions import dedup as D
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return D.simhash_near_pairs(docs)
+
+
+def q_d7_neardup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup SCALE PATH end to end: MinHash-LSH blocking → exact
+    Jaccard verification on candidates only (no shingle self-join). This
+    composition is what runs at 100 TB; d2 is its small-SF ground truth."""
+    from ctlp_spark.functions import dedup as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return D.neardup_pipeline(docs)
 
 
 
@@ -362,7 +382,8 @@ def q_c1_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _C1_SQL = f"""
 WITH t AS ({TRANSCRIPTS_SQL_DUCKDB})
 SELECT conv_id, count(*) AS n_turns,
-       sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS n_tool_turns,
+       CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_tool_turns,
        epoch_us(min(ts)) AS first_ts_us,
        epoch_us(max(ts)) AS last_ts_us
 FROM t GROUP BY conv_id"""
@@ -441,6 +462,7 @@ def _dedup_sql(kind: str) -> str:
         "lsh": D.sql_lsh_candidate_pairs(),
         "simhash": D.sql_simhash(),
         "simhash_near": D.sql_simhash_near_pairs(),
+        "neardup_pipeline": D.sql_neardup_pipeline(),
     }[kind]
 
 
@@ -577,6 +599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d4_lsh_candidates": q_d4_lsh_candidates,
         "d5_simhash": q_d5_simhash,
         "d6_simhash_near": q_d6_simhash_near,
+        "d7_neardup_pipeline": q_d7_neardup_pipeline,
         "s1_ann_bruteforce": q_s1_ann_bruteforce,
         "s2_ann_ivf": q_s2_ann_ivf,
         "s3_lsh_buckets": q_s3_lsh_buckets,
@@ -609,6 +632,7 @@ def oracle_sql() -> dict[str, str]:
         "d4_lsh_candidates": _dedup_sql("lsh"),
         "d5_simhash": _dedup_sql("simhash"),
         "d6_simhash_near": _dedup_sql("simhash_near"),
+        "d7_neardup_pipeline": _dedup_sql("neardup_pipeline"),
         "s1_ann_bruteforce": _ann_sql("brute"),
         "s2_ann_ivf": _ann_sql("ivf"),
         "s3_lsh_buckets": _ann_sql("buckets"),

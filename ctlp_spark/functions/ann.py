@@ -27,7 +27,12 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 DIM = 64
-N_PLANES = 16
+# 64 hyperplanes / 16-bit bands: band keys take 65536 distinct values, so
+# the band-equality join stays selective at scale. Round-1's 16-plane /
+# 4-bit-band defaults gave 16-value band keys → candidate sets ~23% of ALL
+# pairs — a hot-key shuffle that degenerates quadratic at 100 TB.
+N_PLANES = 64
+BAND_BITS = 16
 
 
 def _dot(a, b):
@@ -71,15 +76,24 @@ def brute_force_topk(
 
     The query side is broadcast (tiny); the corpus side streams — one scan,
     no shuffle except the final per-query top-k (Window over q, k rows out
-    per query). cos_ppm = floor(1e6·cos) is engine-exact."""
+    per query). cos_ppm = floor(1e6·cos) is engine-exact.
+
+    same_label_only=True is the IVF-style scale path: queries EQUI-JOIN the
+    corpus on label (the precomputed centroid/cell assignment), so only the
+    query's own cell is scored — a BroadcastHashJoin whose key prunes the
+    compare set by construction (gated in test_plans.py: no Cartesian /
+    nested-loop join in the plan), not a post-hoc filter over a crossJoin."""
     q = emb.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q"), F.col("embedding").alias("qv"),
         F.col("label").alias("qlabel"),
     )
     cond = F.col("vec_id") != F.col("q")
-    joined = emb.crossJoin(F.broadcast(q)).where(cond)
     if same_label_only:
-        joined = joined.where(F.col("label") == F.col("qlabel"))
+        joined = emb.join(
+            F.broadcast(q), on=F.col("label") == F.col("qlabel"), how="inner"
+        ).where(cond)
+    else:
+        joined = emb.crossJoin(F.broadcast(q)).where(cond)
     scored = joined.select(
         "q",
         F.col("vec_id").alias("neighbor"),
@@ -142,8 +156,11 @@ PLANES = _plane_signs()
 
 
 def lsh_bucket(emb_col):
-    """16-bit bucket id: bit i = sign(dot(v, plane_i)) — ±1 planes reduce
-    the dot product to a signed sum, a cheap fold per plane."""
+    """N_PLANES-bit bucket id: bit i = sign(dot(v, plane_i)) — ±1 planes
+    reduce the dot product to a signed sum, a cheap fold per plane. Bit 63
+    of a signed bigint is the sign bit, so setting it adds -2^63 (two's
+    complement — identical semantics in DuckDB; bits 0..62 accumulate
+    first so no intermediate ANSI overflow)."""
     v = emb_col.cast("array<double>")
     bucket = F.lit(0).cast("bigint")
     for i, signs in enumerate(PLANES):
@@ -153,7 +170,8 @@ def lsh_bucket(emb_col):
             lambda x, s: x * s,
         )
         dot = F.aggregate(signed, F.lit(0.0), lambda acc, x: acc + x)
-        bucket = bucket + F.when(dot > 0, F.lit(1 << i).cast("bigint")).otherwise(
+        bit_val = (1 << i) if i < 63 else -(1 << 63)
+        bucket = bucket + F.when(dot > 0, F.lit(bit_val).cast("bigint")).otherwise(
             F.lit(0).cast("bigint")
         )
     return bucket
@@ -167,7 +185,8 @@ def sql_lsh_bucket(v: str, dim: int = DIM) -> str:
             f"list_reduce(list_prepend(0.0, list_transform(generate_series(1, {dim}), "
             f"j -> CAST({v}[j] AS DOUBLE) * ({arr}[j]))), (acc, x) -> acc + x)"
         )
-        terms.append(f"CASE WHEN {dot} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END")
+        bit_lit = str(1 << i) if i < 63 else "-9223372036854775807 - 1"
+        terms.append(f"CASE WHEN {dot} > 0 THEN CAST({bit_lit} AS BIGINT) ELSE 0 END")
     return "(" + " + ".join(terms) + ")"
 
 
@@ -180,12 +199,13 @@ def sql_lsh_buckets(t: str = "embeddings", dim: int = DIM) -> str:
     return f"SELECT vec_id, {sql_lsh_bucket('embedding', dim)} AS bucket FROM {t}"
 
 
-def lsh_band_candidates(emb: DataFrame, band_bits: int = 4) -> DataFrame:
+def lsh_band_candidates(emb: DataFrame, band_bits: int = BAND_BITS) -> DataFrame:
     """Near-neighbor candidate pairs: vectors sharing any band (band_bits
-    consecutive bucket bits). At test scale 16 planes / 4-bit bands; at
-    10^12 scale use ≥64 planes and ≥16-bit bands so band keys stay
-    selective (the band join is the only shuffle and its key distribution
-    is sign-balanced by construction)."""
+    consecutive bucket bits). The shipped default is the scale-safe one —
+    64 planes / 16-bit bands — so band keys stay selective (the band join
+    is the only shuffle and its key distribution is sign-balanced by
+    construction). shiftright is arithmetic but the mask strips the
+    sign-extension bits, so the top band of the signed bucket is exact."""
     n_bands = N_PLANES // band_bits
     mask = (1 << band_bits) - 1
     b = lsh_buckets(emb)
@@ -215,7 +235,7 @@ def lsh_band_candidates(emb: DataFrame, band_bits: int = 4) -> DataFrame:
 
 
 def sql_lsh_band_candidates(
-    t: str = "embeddings", band_bits: int = 4, dim: int = DIM
+    t: str = "embeddings", band_bits: int = BAND_BITS, dim: int = DIM
 ) -> str:
     n_bands = N_PLANES // band_bits
     mask = (1 << band_bits) - 1

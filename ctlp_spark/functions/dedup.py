@@ -32,8 +32,14 @@ BANDS = 3  # 4 rows per band
 ROWS_PER_BAND = NUM_HASHES // BANDS
 # deterministic affine coefficients (A_i odd, < P)
 HASH_AB = [(2 * i + 3, 7 * i + 1) for i in range(NUM_HASHES)]
-SIMHASH_BITS = 32
-SIM_BANDS = 4  # 8-bit chunks for the hamming candidate join
+# 64-bit signatures with 16-bit chunks: chunk keys have 65536 distinct
+# values, so the chunk-equality blocking join stays selective at scale
+# (round-1's 32-bit/8-bit defaults produced candidate sets ~17% of ALL
+# pairs — a hot-key shuffle that degenerates quadratic at 100 TB).
+# 4 chunks still guarantee (pigeonhole) that any pair within hamming 3
+# agrees on at least one chunk, so the near-pair query stays EXACT.
+SIMHASH_BITS = 64
+SIM_BANDS = 4  # 16-bit chunks for the hamming candidate join
 
 
 # ---------------------------------------------------------------------------
@@ -74,6 +80,34 @@ def shingle_hash(col):
 
 
 SQL_SHINGLE_HASH = f"(CAST(('0x' || substr(md5({{x}}), 1, 15)) AS BIGINT) % {P})"
+
+
+def token_hash_halves(col):
+    """Two independent 32-bit md5 halves per token → 64 usable sign bits
+    for SimHash. shingle_hash (mod 2^31-1) only has 31 live bits — using
+    it beyond bit 30 silently yields constant-zero signature bits (and
+    constant chunk keys, i.e. an all-pairs blocking join)."""
+    h1 = F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+    h2 = F.conv(F.substring(F.md5(col), 9, 8), 16, 10).cast("bigint")
+    return h1, h2
+
+
+SQL_TOKEN_HASH_H1 = "CAST(('0x' || substr(md5({x}), 1, 8)) AS BIGINT)"
+SQL_TOKEN_HASH_H2 = "CAST(('0x' || substr(md5({x}), 9, 8)) AS BIGINT)"
+
+
+# Cached frames registered by operators that reuse an intermediate several
+# times within one returned plan. A long-lived session (bench loops, REPLs)
+# calls release_caches() after materializing the results; one-shot jobs can
+# ignore this (executor teardown reclaims storage).
+_CACHED_FRAMES: list[DataFrame] = []
+
+
+def release_caches() -> None:
+    """Unpersist every frame cached by dedup operators so long-lived
+    sessions don't accumulate storage until eviction pressure."""
+    while _CACHED_FRAMES:
+        _CACHED_FRAMES.pop().unpersist()
 
 
 # ---------------------------------------------------------------------------
@@ -131,6 +165,7 @@ def ngram_jaccard_pairs(
     sh = docs.select(
         F.col(id_col).alias("doc"), F.explode(shingles(F.col(text_col), n)).alias("sh")
     ).cache()  # reused 3× (both self-join sides + sizes); avoids re-shingling
+    _CACHED_FRAMES.append(sh)  # released via release_caches() (long sessions)
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     pairs = (
         sh.alias("a")
@@ -271,22 +306,33 @@ WHERE x.doc < y.doc"""
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """SIMHASH_BITS-wide signature: bit j set iff the sum over distinct
     tokens of ±1 (sign of token-hash bit j) is positive."""
+    h1, h2 = token_hash_halves(F.col("tok"))
     toks = docs.select(
         F.col(id_col).alias("doc"),
         F.explode(
             F.array_distinct(F.split(norm_text(F.col(text_col)), " "))
         ).alias("tok"),
-    ).select("doc", shingle_hash(F.col("tok")).alias("h"))
+    ).select("doc", h1.alias("h1"), h2.alias("h2"))
     bit_sums = [
         F.sum(
-            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.when(
+                F.shiftright(F.col("h1" if j < 32 else "h2"), j % 32)
+                .bitwiseAND(F.lit(1))
+                == 1,
+                1,
+            ).otherwise(-1)
         ).alias(f"s{j}")
         for j in range(SIMHASH_BITS)
     ]
     agg = toks.groupBy("doc").agg(*bit_sums)
     sig = None
     for j in range(SIMHASH_BITS):
-        term = F.when(F.col(f"s{j}") > 0, F.lit(1).cast("bigint") * (1 << j)).otherwise(
+        # bit 63 of a signed bigint is the sign bit: setting it means
+        # ADDING -2^63 in two's complement (identical in DuckDB — both
+        # engines use signed 64-bit BIGINT, and bits 0..62 sum first so
+        # no intermediate overflow under ANSI arithmetic)
+        bit_val = (1 << j) if j < 63 else -(1 << 63)
+        term = F.when(F.col(f"s{j}") > 0, F.lit(bit_val).cast("bigint")).otherwise(
             F.lit(0).cast("bigint")
         )
         sig = term if sig is None else sig + term
@@ -298,16 +344,23 @@ def sql_simhash(t: str = "documents") -> str:
 
     norm = SQL_NORM.format(t="text")
     sums = ", ".join(
-        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        f"sum(CASE WHEN (h{1 if j < 32 else 2} >> {j % 32}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END) AS s{j}"
         for j in range(SIMHASH_BITS)
     )
+    # bit 63 spelled (-(2^63-1) - 1): the positive literal 2^63 does not fit
+    # a signed BIGINT in either engine; see the Spark-side comment in simhash()
     bits = " + ".join(
-        f"CASE WHEN s{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END"
+        f"CASE WHEN s{j} > 0 THEN CAST("
+        + (str(1 << j) if j < 63 else "-9223372036854775807 - 1")
+        + " AS BIGINT) ELSE 0 END"
         for j in range(SIMHASH_BITS)
     )
     return f"""
 WITH toks AS (
-  SELECT doc_id AS doc, {SQL_SHINGLE_HASH.format(x='tok')} AS h
+  SELECT doc_id AS doc,
+         {SQL_TOKEN_HASH_H1.format(x='tok')} AS h1,
+         {SQL_TOKEN_HASH_H2.format(x='tok')} AS h2
   FROM (SELECT doc_id, unnest(list_distinct(string_split({norm}, ' '))) AS tok
         FROM {t})
 ),
@@ -319,8 +372,10 @@ def simhash_near_pairs(
     docs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming, found via banded
-    8-bit-chunk equality join (a pair within hamming 3 must agree on at
-    least one of 4 chunks) then exact bit_count verification."""
+    16-bit-chunk equality join (a pair within hamming 3 must agree on at
+    least one of 4 chunks — pigeonhole, so the result is exact) then
+    bit_count verification. 16-bit chunk keys keep the blocking join
+    selective (65536 values) instead of degenerating toward all-pairs."""
     sig = simhash(docs, id_col, text_col)
     chunk_bits = SIMHASH_BITS // SIM_BANDS
     mask = (1 << chunk_bits) - 1
@@ -404,15 +459,73 @@ def jaccard_on_candidates(
             "doc_b",
         )
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
+    # cast to bigint BEFORE the ppm multiply: size() is int32 and
+    # inter*1e6 overflows 32 bits (ANSI error) once docs exceed ~2147 shingles
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
+    union = F.size("sh_a").cast("bigint") + F.size("sh_b").cast("bigint") - inter
     return (
         joined.select(
             "doc_a",
             "doc_b",
-            inter.cast("bigint").alias("inter"),
-            union.cast("bigint").alias("union_sz"),
+            inter.alias("inter"),
+            union.alias("union_sz"),
             F.floor((inter * 1_000_000) / union).cast("bigint").alias("jaccard_ppm"),
         )
         .where(F.col("jaccard_ppm") >= threshold_ppm)
     )
+
+
+def neardup_pipeline(
+    docs: DataFrame,
+    n: int = 3,
+    threshold_ppm: int = 300_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The near-dup SCALE PATH, end to end: MinHash-LSH blocking
+    (linear-time, md5-uniform band keys) → exact Jaccard verification on
+    candidates only (id-keyed hash joins + array_intersect, no shingle
+    self-join). This is the composition that replaces the quadratic
+    ``ngram_jaccard_pairs`` at 100 TB; d2 remains a small-SF ground-truth
+    check of the verifier itself."""
+    return jaccard_on_candidates(
+        docs,
+        lsh_candidate_pairs(docs, n, id_col, text_col),
+        n=n,
+        threshold_ppm=threshold_ppm,
+        id_col=id_col,
+        text_col=text_col,
+    )
+
+
+def sql_neardup_pipeline(
+    t: str = "documents", n: int = 3, threshold_ppm: int = 300_000
+) -> str:
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc, {bi} AS band_idx, md5(concat_ws('_', "
+        + ", ".join(f"mh{bi * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+        + ")) AS band_key FROM sig"
+        for bi in range(BANDS)
+    )
+    return f"""
+WITH {_sql_minhash_cte(t, n)},
+bands AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
+  FROM bands x JOIN bands y USING (band_idx, band_key)
+  WHERE x.doc < y.doc
+),
+sets AS (SELECT doc_id AS doc, {sql_shingles('text', n)} AS sh FROM {t}),
+verified AS (
+  SELECT doc_a, doc_b,
+         CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS inter,
+         CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))
+              AS BIGINT) AS union_sz
+  FROM cand
+  JOIN sets sa ON sa.doc = doc_a
+  JOIN sets sb ON sb.doc = doc_b
+)
+SELECT doc_a, doc_b, inter, union_sz,
+       CAST(floor((inter * 1000000) / union_sz) AS BIGINT) AS jaccard_ppm
+FROM verified
+WHERE CAST(floor((inter * 1000000) / union_sz) AS BIGINT) >= {threshold_ppm}"""

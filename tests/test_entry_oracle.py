@@ -34,14 +34,19 @@ def duck():
 
 
 def _canon_value(v) -> str:
+    # Float values are TYPE-TAGGED ("f:...") so an integer column on one
+    # engine never canonicalizes equal to a float column on the other —
+    # the driver hashes raw values and IS dtype-sensitive (round-1
+    # c1_conv_stats failed on DuckDB HUGEINT→float64 11.0 vs Spark 11
+    # while this twin passed). Oracle queries must emit exact integers.
     if v is None:
         return "∅"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        return f"{v:.6g}"
     if isinstance(v, bool):
         return str(bool(v)).lower()
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "f:nan"
+        return f"f:{v:.6g}"
     return str(v)
 
 

@@ -72,6 +72,21 @@ def test_tag_agg_single_exchange(tagged):
     assert "partial_count" in plan or "HashAggregate" in plan
 
 
+def test_ivf_topk_prunes_by_cell_join(spark):
+    """The IVF-style top-k must score only the query's own label cell via
+    an equi-join (BroadcastHashJoin on label) — never a Cartesian product
+    with a post-hoc filter, which scans every (query, vector) pair and
+    defeats the cell pruning at 100 TB."""
+    from ctlp_spark.functions import ann as A
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _plan(A.brute_force_topk(emb, k=5, n_queries=10,
+                                    same_label_only=True))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_salted_repartition_spreads_hot_conversation(spark, transcripts):
     """Hot conv rows must land in >1 partition after salting (the skew
     defense), while cold conversations stay co-located per salt bucket."""
