@@ -210,19 +210,32 @@ def _child_ceiling(cpus: int) -> None:
 
 def _child_queries() -> None:
     """Time the headline oracle queries at full parallelism; one JSON line.
-    Results are fully materialized to a memory-backed parquet sink."""
+    Results are fully materialized to a memory-backed parquet sink.
+
+    A warm-up pass of the first (scan+tag-shaped) query runs untimed so
+    per-query numbers are comparable across reorderings — round 1's
+    p1_route_counts read 6.8 s purely because it paid the fresh JVM's
+    codegen/JIT warm-up (identical-shape queries ran 1.3-3.2 s). The
+    cold-start cost is still reported, split out as _cold_first_query_sec."""
     import __spark_entry__ as entrymod
 
+    from ctlp_spark.functions import dedup as dedup_fns
     from ctlp_spark.session import get_spark
 
     sink = os.path.join(_shm_dir(), "qsink")
     spark = get_spark(app_name="bench-queries", cpus=CPUS,
                       shuffle_partitions=max(CPUS, 8))
-    out: dict[str, float] = {}
-    for name, fn in entrymod.queries().items():
+    qs = entrymod.queries()
+    first = next(iter(qs))
+    t0 = time.perf_counter()
+    qs[first](spark, SF_DIR).write.mode("overwrite").parquet(sink)
+    cold = round(time.perf_counter() - t0, 3)
+    out: dict[str, float] = {"_cold_first_query_sec": cold}
+    for name, fn in qs.items():
         t0 = time.perf_counter()
         fn(spark, SF_DIR).write.mode("overwrite").parquet(sink)
         out[name] = round(time.perf_counter() - t0, 3)
+        dedup_fns.release_caches()  # d2 caches its shingle frame per call
     shutil.rmtree(sink, ignore_errors=True)
     print(json.dumps(out))
     spark.stop()

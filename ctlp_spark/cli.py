@@ -69,11 +69,28 @@ def main(argv: list[str] | None = None) -> int:
                     help="counts only, no sink writes (versioned.go:323-353)")
     ap.add_argument("--build-pyfiles", action="store_true",
                     help="write ctlp_spark.zip for spark-submit --py-files")
+    ap.add_argument("--export-config", choices=["json", "yaml"],
+                    help="convert --rules to this format and exit "
+                         "(config-export/main.go analogue)")
+    ap.add_argument("--export-out", help="export destination (default stdout)")
     args = ap.parse_args(argv)
 
     if args.build_pyfiles:
         path = build_pyfiles()
         print(json.dumps({"pyfiles": os.path.abspath(path)}))
+        return 0
+    if args.export_config:
+        from ctlp_spark.rules import export_rules, load_rules
+
+        if not args.rules:
+            ap.error("--rules is required with --export-config")
+        text = export_rules(load_rules(args.rules), args.export_config)
+        if args.export_out:
+            with open(args.export_out, "w", encoding="utf-8") as fh:
+                fh.write(text)
+            print(json.dumps({"exported": os.path.abspath(args.export_out)}))
+        else:
+            sys.stdout.write(text)
         return 0
     if not (args.input and args.rules):
         ap.error("--input and --rules are required (or --build-pyfiles)")

@@ -153,28 +153,53 @@ def _plane_signs() -> list[list[int]]:
 
 
 PLANES = _plane_signs()
+# one flat row-major literal (N_PLANES·DIM doubles): 64 separate per-plane
+# zip_with trees made a ~4096-literal-Column plan that cost seconds of
+# analysis/codegen per query; one array literal + a single fold over
+# plane indices keeps the tree tiny and the per-plane fold order identical.
+# The literal is spelled as ONE SQL string (F.expr) — F.lit(list) issues a
+# Py4J round trip per element (~2 s for 4096 doubles).
+_PLANES_FLAT = [float(s) for row in PLANES for s in row]
+_PLANES_SQL = "array(" + ",".join(f"{x}D" for x in _PLANES_FLAT) + ")"
+
+
+from ctlp_spark.functions.bitpack import BITS_SQL as _BITS_SQL  # noqa: E402
 
 
 def lsh_bucket(emb_col):
-    """N_PLANES-bit bucket id: bit i = sign(dot(v, plane_i)) — ±1 planes
-    reduce the dot product to a signed sum, a cheap fold per plane. Bit 63
-    of a signed bigint is the sign bit, so setting it adds -2^63 (two's
-    complement — identical semantics in DuckDB; bits 0..62 accumulate
-    first so no intermediate ANSI overflow)."""
+    """N_PLANES-bit bucket id: bit i = sign(dot(v, plane_i)), as ONE fused
+    fold over plane indices. Each iteration computes plane i's dot product
+    (an explicit left fold over v·slice(planes) — same operation order as
+    the DuckDB twin → identical IEEE doubles → identical signs) exactly
+    once and adds the bit value.
+
+    Why this shape: 64 separate per-plane zip_with trees summed through 64
+    nested Add(When(...)) cost ~3 s of Catalyst ANALYSIS per query (a
+    depth-64, ~4096-literal tree re-walked by every rule); materializing a
+    dots array first then packing gets its projection collapsed INTO the
+    packing fold (single reference ⇒ CollapseProject inlines it), which
+    re-evaluates all 64 dots per fold step — 64× the work. The fused fold
+    is a shallow tree (ms analysis) doing the minimal N_PLANES·DIM
+    multiplies per row."""
     v = emb_col.cast("array<double>")
-    bucket = F.lit(0).cast("bigint")
-    for i, signs in enumerate(PLANES):
-        signed = F.zip_with(
-            v,
-            F.array(*[F.lit(float(s)) for s in signs]),
-            lambda x, s: x * s,
-        )
-        dot = F.aggregate(signed, F.lit(0.0), lambda acc, x: acc + x)
-        bit_val = (1 << i) if i < 63 else -(1 << 63)
-        bucket = bucket + F.when(dot > 0, F.lit(bit_val).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-    return bucket
+    flat = F.expr(_PLANES_SQL)
+    bits = F.expr(_BITS_SQL)
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(N_PLANES - 1)),
+        F.lit(0).cast("bigint"),
+        lambda acc, i: acc
+        + F.when(
+            F.aggregate(
+                F.zip_with(
+                    v, F.slice(flat, i * DIM + 1, DIM), lambda x, s: x * s
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            > 0,
+            F.element_at(bits, i + 1),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
 
 
 def sql_lsh_bucket(v: str, dim: int = DIM) -> str:

@@ -1,0 +1,45 @@
+"""Shared signed-64-bit sign-packing for SimHash signatures and sign-LSH
+buckets.
+
+Two engine facts shape this module:
+
+* a chain of 64 nested ``Add(When(...))`` terms costs seconds of Catalyst
+  ANALYSIS per query (depth-64 tree re-walked by every analyzer rule);
+  a single shallow ``aggregate`` fold analyzes in milliseconds;
+* ``F.lit(list)`` issues a Py4J round trip per element (~2 s for a
+  4096-double plane matrix), so big literal arrays are spelled as ONE
+  ``F.expr("array(...)")`` SQL string.
+
+Bit 63 of a signed bigint is the sign bit: setting it adds -2^63 in two's
+complement — identical semantics in DuckDB (both engines use signed 64-bit
+BIGINT), and bits 0..62 accumulate first in the fold so no intermediate
+ANSI overflow. The -x-1 spelling exists because the positive half of
+bigint-min overflows both engines' lexers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+BIT_VALUES = [(1 << i) if i < 63 else -(1 << 63) for i in range(64)]
+BITS_SQL = (
+    "array("
+    + ",".join(
+        f"{v}L" if v >= 0 else "-9223372036854775807L - 1L" for v in BIT_VALUES
+    )
+    + ")"
+)
+
+
+def pack_signs(values_col, n_bits: int):
+    """bigint with bit i set iff ``values_col[i] > 0`` (1-indexed array of
+    n_bits numeric values), as one shallow fold."""
+    bits = F.expr(BITS_SQL)
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(n_bits - 1)),
+        F.lit(0).cast("bigint"),
+        lambda acc, i: acc
+        + F.when(
+            F.element_at(values_col, i + 1) > 0, F.element_at(bits, i + 1)
+        ).otherwise(F.lit(0).cast("bigint")),
+    )

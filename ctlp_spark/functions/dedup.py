@@ -325,18 +325,12 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         for j in range(SIMHASH_BITS)
     ]
     agg = toks.groupBy("doc").agg(*bit_sums)
-    sig = None
-    for j in range(SIMHASH_BITS):
-        # bit 63 of a signed bigint is the sign bit: setting it means
-        # ADDING -2^63 in two's complement (identical in DuckDB — both
-        # engines use signed 64-bit BIGINT, and bits 0..62 sum first so
-        # no intermediate overflow under ANSI arithmetic)
-        bit_val = (1 << j) if j < 63 else -(1 << 63)
-        term = F.when(F.col(f"s{j}") > 0, F.lit(bit_val).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-        sig = term if sig is None else sig + term
-    return agg.select("doc", sig.alias("simhash"))
+    # pack via one shallow fold (a depth-64 Add chain costs ~2 s of
+    # Catalyst analysis per query); bit-63/sign-bit semantics in bitpack
+    from ctlp_spark.functions.bitpack import pack_signs
+
+    sums_arr = F.array(*[F.col(f"s{j}") for j in range(SIMHASH_BITS)])
+    return agg.select("doc", pack_signs(sums_arr, SIMHASH_BITS).alias("simhash"))
 
 
 def sql_simhash(t: str = "documents") -> str:

@@ -90,6 +90,17 @@ def resolve_field(
       explicitly grok/regex-based. Multi-segment paths fall back to
       ``get_json_object``. Equivalence on the fixture corpus is tested
       (test_compile.py).
+
+      KNOWN DIVERGENCES beyond the flat-JSON caveat (use "native" when
+      these can occur; "native" stays the only oracle-checked path):
+
+      * empty-string values: ``{"k":""}`` extracts '' which the != ''
+        gate turns into NULL (condition can't hold ⇒ row KEPT), where
+        get_json_object returns '' (matchable by e.g. ``^$``);
+      * key position is not checked: the pattern matches ``"key":"v"``
+        ANYWHERE in the string — inside a nested object, or even inside a
+        string value that happens to contain the literal
+        ``"key":"..."`` text — not just at the top level.
     """
     json_columns = json_columns or {}
     parts = field_name.split(".")

@@ -1,0 +1,72 @@
+"""Driver-side retry with exponential backoff and jitter.
+
+Behavioral twin of the reference's retry package
+(/root/reference/pkg/retry/retry.go:83-230), re-expressed for the Spark
+split of responsibilities: task/stage retry inside jobs is Spark's own
+(spark.task.maxFailures); this wraps DRIVER-side effects — config loads,
+manifest IO, side-sink notifies — which Spark does not retry for you.
+
+Reference behavior table mirrored here:
+
+* ``max_retries`` retries ⇒ up to ``max_retries + 1`` attempts;
+* delay for attempt *k* (0-based) = ``base_delay · multiplier^k``;
+* jitter (on by default) ADDS uniform [0, 25%) of the delay;
+* the cap at ``max_delay`` applies AFTER jitter;
+* a non-retryable error (per the ``retryable`` predicate) raises
+  immediately, unwrapped;
+* no sleep after the final failed attempt;
+* exhaustion raises :class:`RetryError` chained to the last error.
+
+``sleep`` and ``rng`` are injectable for deterministic tests.
+"""
+
+from __future__ import annotations
+
+import random
+import time
+from collections.abc import Callable
+from typing import TypeVar
+
+T = TypeVar("T")
+
+DEFAULT_MAX_RETRIES = 3
+DEFAULT_BASE_DELAY = 0.1
+DEFAULT_MAX_DELAY = 10.0
+DEFAULT_MULTIPLIER = 2.0
+
+
+class RetryError(RuntimeError):
+    """All attempts failed; ``__cause__`` is the last underlying error."""
+
+
+def retry_call(
+    fn: Callable[[], T],
+    *,
+    max_retries: int = DEFAULT_MAX_RETRIES,
+    base_delay: float = DEFAULT_BASE_DELAY,
+    max_delay: float = DEFAULT_MAX_DELAY,
+    multiplier: float = DEFAULT_MULTIPLIER,
+    jitter: bool = True,
+    retryable: Callable[[BaseException], bool] | None = None,
+    sleep: Callable[[float], None] = time.sleep,
+    rng: random.Random | None = None,
+) -> T:
+    """Call ``fn`` until it succeeds or retries are exhausted."""
+    rng = rng if rng is not None else random.Random()
+    last: BaseException | None = None
+    for attempt in range(max_retries + 1):
+        try:
+            return fn()
+        except Exception as exc:  # noqa: BLE001 — predicate decides
+            last = exc
+            if retryable is not None and not retryable(exc):
+                raise
+            if attempt == max_retries:
+                break
+            delay = base_delay * multiplier**attempt
+            if jitter:
+                delay += rng.random() * 0.25 * delay
+            sleep(min(delay, max_delay))
+    raise RetryError(
+        f"operation failed after {max_retries} retries: {last!r}"
+    ) from last

@@ -214,6 +214,75 @@ def load_rules(source: str | dict, *, validate: bool = True) -> RuleConfig:
     return cfg
 
 
+def rules_to_obj(cfg: RuleConfig) -> dict:
+    """The plain-dict form of a config (inverse of ``_config_from_obj``)."""
+    return {
+        "version": cfg.version,
+        **({"meta": cfg.meta} if cfg.meta else {}),
+        "rules": [
+            {
+                "name": r.name,
+                "matches": [
+                    {"field_name": m.field_name, "regex": m.regex}
+                    for m in r.matches
+                ],
+                **(
+                    {
+                        "exclude_matches": [
+                            {"field_name": m.field_name, "regex": m.regex}
+                            for m in r.exclude_matches
+                        ]
+                    }
+                    if r.exclude_matches
+                    else {}
+                ),
+            }
+            for r in cfg.rules
+        ],
+    }
+
+
+def export_rules(cfg: RuleConfig, fmt: str = "json") -> str:
+    """Serialize a validated config to JSON or YAML — the config-export
+    converter (reference cmd/config-export/main.go: load → validate →
+    export to the requested format)."""
+    validate_config(cfg)
+    obj = rules_to_obj(cfg)
+    if fmt == "json":
+        return json.dumps(obj, indent=2) + "\n"
+    if fmt == "yaml":
+        if not _HAVE_YAML:  # pragma: no cover
+            raise RuleValidationError("PyYAML unavailable for yaml export")
+        return yaml.safe_dump(obj, sort_keys=False)
+    raise RuleValidationError(f"unknown export format {fmt!r} (json|yaml)")
+
+
+def load_rules_with_retry(
+    source: str | dict,
+    *,
+    validate: bool = True,
+    max_retries: int = 3,
+    base_delay: float = 0.1,
+    max_delay: float = 10.0,
+    **retry_kwargs,
+) -> RuleConfig:
+    """``load_rules`` wrapped in jittered exponential backoff — the
+    reference retries EVERY config load (cmd/main.go:248-254 via
+    pkg/retry/retry.go); transient IO errors (network config stores,
+    flaky NFS) are retryable, validation errors are NOT (a bad config
+    never becomes good by waiting)."""
+    from ctlp_spark.retry import retry_call
+
+    return retry_call(
+        lambda: load_rules(source, validate=validate),
+        max_retries=max_retries,
+        base_delay=base_delay,
+        max_delay=max_delay,
+        retryable=lambda exc: not isinstance(exc, RuleValidationError),
+        **retry_kwargs,
+    )
+
+
 def eval_rules_py(cfg: RuleConfig, record: dict) -> str | None:
     """Pure-Python single-record evaluator (driver-side oracle/testing twin).
 
@@ -281,7 +350,13 @@ class CachedConfigLoader:
     per batch job, per micro-batch for streaming reload), so a lock-free
     monotonic-clock TTL suffices."""
 
-    def __init__(self, source: str | dict, ttl_seconds: float = 300.0):
+    def __init__(
+        self,
+        source: str | dict,
+        ttl_seconds: float = 300.0,
+        max_retries: int = 0,
+        **retry_kwargs,
+    ):
         import threading
         import time as _time
 
@@ -291,6 +366,17 @@ class CachedConfigLoader:
         self._lock = threading.Lock()
         self._cached: RuleConfig | None = None
         self._loaded_at = float("-inf")
+        self._max_retries = max_retries
+        self._retry_kwargs = retry_kwargs
+
+    def _load_once(self) -> RuleConfig:
+        if self._max_retries > 0:
+            return load_rules_with_retry(
+                self._source,
+                max_retries=self._max_retries,
+                **self._retry_kwargs,
+            )
+        return load_rules(self._source)
 
     def load(self, force: bool = False) -> RuleConfig:
         now = self._clock()
@@ -299,6 +385,6 @@ class CachedConfigLoader:
         with self._lock:
             now = self._clock()
             if force or self._cached is None or now - self._loaded_at >= self._ttl:
-                self._cached = load_rules(self._source)
+                self._cached = self._load_once()
                 self._loaded_at = now
         return self._cached

@@ -1,0 +1,74 @@
+"""Best-effort side-sinks — the S7/R3 trigger mirror (SURVEY §2.10).
+
+The reference broadcasts each processed event's metadata to SQS and/or SNS
+asynchronously, fire-and-forget: the broadcast runs off the critical path
+with its own timeout, and a failure is logged, never propagated to the
+processing result (/root/reference/pkg/aws/aws.go:29-71,
+cmd/main.go:236-243). The Spark analogue is a driver-side notify per
+committed unit of work (micro-batch or input file), invoked AFTER the
+primary sinks commit:
+
+* ``notify_best_effort`` — the invariant itself: any exception from the
+  side-sink is swallowed (recorded on the callable for observability);
+* ``file_broadcaster`` — local stand-in for an SNS/SQS publish: appends
+  one JSON line per message to a file (this image has no AWS endpoint);
+* ``compose_broadcast`` — SQS+SNS shape: forward one message to every
+  configured target, mirroring BroadCastEvent's both-when-configured.
+
+The side-sink must be idempotent-tolerant: a replayed micro-batch (crash
+between sink commit and checkpoint) re-notifies, exactly like Lambda
+retry re-publishes in the reference. Downstream consumers dedupe on the
+(batch_id / file id) key carried in every message.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Callable
+
+SideSink = Callable[[dict], None]
+
+
+def notify_best_effort(side_sink: SideSink | None, message: dict) -> bool:
+    """Invoke the side-sink; NEVER raise (the R3 invariant: a broadcast
+    failure must not fail the pipeline). Returns True if delivered."""
+    if side_sink is None:
+        return False
+    try:
+        side_sink(dict(message))
+        return True
+    except Exception as exc:  # noqa: BLE001 — by-design firewall
+        # fire-and-forget: record for observability, swallow like the
+        # reference's logged-only broadcast errors
+        errors = getattr(side_sink, "errors", None)
+        if isinstance(errors, list):
+            errors.append(repr(exc))
+        return False
+
+
+def file_broadcaster(path: str) -> SideSink:
+    """One JSON line per message appended to ``path`` — the local stand-in
+    for an SNS publish / SQS send. Append-only so replays are visible to
+    (and deduplicable by) downstream consumers."""
+
+    def publish(message: dict) -> None:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "a", encoding="utf-8") as fh:
+            fh.write(json.dumps(message, sort_keys=True) + "\n")
+
+    publish.errors = []  # type: ignore[attr-defined]
+    return publish
+
+
+def compose_broadcast(*sinks: SideSink | None) -> SideSink:
+    """Forward one message to every configured target (SQS and/or SNS in
+    the reference's BroadCastEvent); unconfigured (None) targets skip."""
+
+    def publish(message: dict) -> None:
+        for s in sinks:
+            if s is not None:
+                s(message)
+
+    publish.errors = []  # type: ignore[attr-defined]
+    return publish

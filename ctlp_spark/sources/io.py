@@ -116,6 +116,7 @@ def run_resumable(
     engine: str = "native",
     json_columns: dict[str, str] | None = None,
     fail_after: int | None = None,
+    side_sink=None,
 ) -> PipelineResult:
     """Process input files with checkpointed resume.
 
@@ -152,6 +153,16 @@ def run_resumable(
                 "out": out_dir,
             },
         )
+        # S7/R3 trigger mirror, batch side: per committed input file,
+        # best-effort (never fails the run) — see ctlp_spark.sinks
+        from ctlp_spark.sinks import notify_best_effort
+
+        notify_best_effort(side_sink, {
+            "file": f,
+            "file_id": fid,
+            "kept": res.kept,
+            "dropped": res.dropped,
+        })
         done_this_run += 1
         if fail_after is not None and done_this_run >= fail_after:
             raise RuntimeError(f"simulated crash after {done_this_run} files")

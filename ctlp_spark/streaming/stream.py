@@ -62,12 +62,20 @@ def run_stream_pipeline(
     role_dim: DataFrame | None = None,
     tool_dim: DataFrame | None = None,
     available_now: bool = True,
+    side_sink=None,
 ):
     """Start the streaming pipeline; returns the StreamingQuery.
 
     Each micro-batch: tag → route → enrich(kept) → append both sinks.
     ``Trigger.AvailableNow`` drains the backlog then stops — one bounded
-    run per invocation, resumable via the checkpoint."""
+    run per invocation, resumable via the checkpoint.
+
+    ``side_sink`` is the S7/R3 trigger mirror (reference aws.go:29-71 /
+    cmd/main.go:236-243): called once per committed micro-batch with
+    {batch_id, kept_path, dropped_path}, best-effort — an exception from
+    it is swallowed (ctlp_spark.sinks.notify_best_effort), never failing
+    the batch; replays re-notify, downstream dedupes on batch_id."""
+    from ctlp_spark.sinks import notify_best_effort
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         # Idempotent per-batch sinks: foreachBatch side-effects are not
@@ -85,6 +93,11 @@ def run_stream_pipeline(
             .partitionBy(MATCHED_RULE_COL)
             .parquet(f"{out_dir}/dropped/batch={batch_id}")
         )
+        notify_best_effort(side_sink, {
+            "batch_id": batch_id,
+            "kept_path": f"{out_dir}/kept/batch={batch_id}",
+            "dropped_path": f"{out_dir}/dropped/batch={batch_id}",
+        })
 
     writer = (
         stream_df.writeStream.foreachBatch(process_batch)

@@ -60,6 +60,27 @@ def test_cli_dry_run(corpus_dir, expected, rules_file):
     assert out["rule_hits"] == expected["rule_hits"]
 
 
+def test_cli_export_config(rules_file, tmp_path):
+    """--export-config: YAML rules → validated JSON (and back), no Spark."""
+    from ctlp_spark.rules import load_rules
+
+    out_json = str(tmp_path / "rules.json")
+    res = _run_cli([
+        "--rules", rules_file, "--export-config", "json",
+        "--export-out", out_json,
+    ])
+    assert res["exported"] == out_json
+    assert load_rules(out_json) == load_rules(rules_file)
+
+    proc = subprocess.run(
+        [sys.executable, "-m", "ctlp_spark.cli",
+         "--rules", out_json, "--export-config", "yaml"],
+        capture_output=True, text=True, cwd=REPO, timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert load_rules(proc.stdout) == load_rules(rules_file)
+
+
 def test_spark_submit_pyfiles(corpus_dir, expected, rules_file, tmp_path):
     """The north-rule packaging requirement: the job must run via
     spark-submit --py-files with the library zipped."""

@@ -1,0 +1,97 @@
+"""Iceberg path: gated cleanly without the runtime jar, fully exercised
+the moment one appears on the classpath (SURVEY §8 known gap; VERDICT r1
+item 5). The cursor/manifest logic is pure Python and tested always."""
+
+from __future__ import annotations
+
+import pytest
+
+from ctlp_spark.gen import JSON_COLUMNS, default_rules, gen_transcripts
+from ctlp_spark.sources import iceberg as I
+from ctlp_spark.sources.io import iceberg_available
+
+
+@pytest.fixture(scope="module")
+def iceberg_spark(spark, tmp_path_factory):
+    """The shared session with a filesystem catalog registered at runtime
+    (catalog resolution is lazy, so runtime conf works); skips the
+    jar-dependent suite when the runtime is absent — this image ships no
+    iceberg-spark-runtime jar."""
+    if not iceberg_available(spark):
+        pytest.skip("iceberg-spark-runtime jar not on classpath")
+    wh = str(tmp_path_factory.mktemp("warehouse"))
+    for k, v in I.iceberg_conf(wh).items():
+        spark.conf.set(k, v)
+    return spark
+
+
+def test_gate_raises_clearly_without_jar(spark):
+    if iceberg_available(spark):
+        pytest.skip("jar present; gate not exercisable")
+    with pytest.raises(RuntimeError, match="Iceberg runtime jar"):
+        I.ensure_transcript_table(spark, "local.db.t")
+    with pytest.raises(RuntimeError, match="Iceberg runtime jar"):
+        I.latest_snapshot_id(spark, "local.db.t")
+
+
+def test_snapshot_cursor_roundtrip_and_atomicity(tmp_path):
+    p = str(tmp_path / "cursor.json")
+    c = I.SnapshotCursor(p)
+    assert c.snapshot_id is None
+    c.advance(12345)
+    assert I.SnapshotCursor(p).snapshot_id == 12345
+    c.advance(67890)
+    assert I.SnapshotCursor(p).snapshot_id == 67890
+
+
+def test_iceberg_conf_shape():
+    conf = I.iceberg_conf("/tmp/wh", catalog="c1")
+    assert conf["spark.sql.catalog.c1"] == "org.apache.iceberg.spark.SparkCatalog"
+    assert conf["spark.sql.catalog.c1.type"] == "hadoop"
+    assert conf["spark.sql.catalog.c1.warehouse"] == "/tmp/wh"
+
+
+# ----- jar-dependent suite (skips in this image, runs with a jar) --------
+
+
+def _write_batch(spark, table, n_rows, seed):
+    pdf = gen_transcripts(n_rows, seed=seed)
+    df = spark.createDataFrame(pdf)
+    I.append_transcripts(df, table)
+
+
+def test_append_and_snapshot_log(iceberg_spark, tmp_path):
+    table = "local.db.transcripts_a"
+    I.ensure_transcript_table(iceberg_spark, table)
+    _write_batch(iceberg_spark, table, 500, seed=1)
+    s1 = I.latest_snapshot_id(iceberg_spark, table)
+    _write_batch(iceberg_spark, table, 300, seed=2)
+    s2 = I.latest_snapshot_id(iceberg_spark, table)
+    assert s1 is not None and s2 is not None and s1 != s2
+    assert iceberg_spark.read.format("iceberg").load(table).count() == 800
+    assert I.incremental_read(iceberg_spark, table, s1, s2).count() == 300
+
+
+def test_snapshot_resume_processes_only_new_commits(iceberg_spark, tmp_path):
+    table = "local.db.transcripts_b"
+    I.ensure_transcript_table(iceberg_spark, table)
+    cfg = default_rules()
+    cursor = str(tmp_path / "cursor.json")
+    out = str(tmp_path / "out")
+
+    _write_batch(iceberg_spark, table, 500, seed=3)
+    r1 = I.run_resumable_snapshots(
+        iceberg_spark, table, cfg, out, cursor, json_columns=JSON_COLUMNS
+    )
+    assert r1 is not None and r1.total == 500
+
+    # nothing new ⇒ no-op
+    assert I.run_resumable_snapshots(
+        iceberg_spark, table, cfg, out, cursor, json_columns=JSON_COLUMNS
+    ) is None
+
+    _write_batch(iceberg_spark, table, 200, seed=4)
+    r2 = I.run_resumable_snapshots(
+        iceberg_spark, table, cfg, out, cursor, json_columns=JSON_COLUMNS
+    )
+    assert r2 is not None and r2.total == 200

@@ -70,6 +70,35 @@ def test_already_done_files_are_skipped(spark, split_inputs, tmp_path):
         assert m2.completed[fid] == stats  # untouched, not re-processed
 
 
+def test_resumable_side_sink_per_file_and_best_effort(spark, split_inputs, tmp_path):
+    """Batch-side R3 mirror: one message per committed file; an exploding
+    side-sink never fails the run and the manifest still commits."""
+    import json
+
+    from ctlp_spark.sinks import compose_broadcast, file_broadcaster
+
+    notify_path = str(tmp_path / "notify.jsonl")
+
+    def exploding(_msg):
+        raise ConnectionError("unreachable")
+
+    sink = compose_broadcast(file_broadcaster(notify_path), None)
+    res = run_resumable(
+        spark, split_inputs[:2], CFG, str(tmp_path / "o1"),
+        str(tmp_path / "m1.json"), json_columns=JSON_COLUMNS, side_sink=sink,
+    )
+    msgs = [json.loads(line) for line in open(notify_path)]
+    assert len(msgs) == 2
+    assert sum(m["kept"] for m in msgs) == res.kept
+
+    res2 = run_resumable(
+        spark, split_inputs[:2], CFG, str(tmp_path / "o2"),
+        str(tmp_path / "m2.json"), json_columns=JSON_COLUMNS,
+        side_sink=exploding,
+    )
+    assert res2.kept == res.kept  # run unaffected by broadcast failure
+
+
 def test_lineage_column(spark, split_inputs):
     df = with_lineage(spark.read.parquet(split_inputs[0]))
     vals = df.select("_src_file").distinct().collect()

@@ -1,0 +1,124 @@
+"""Retry behavior table (mirrors /root/reference/pkg/retry/retry.go:83-230)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from ctlp_spark.retry import RetryError, retry_call
+from ctlp_spark.rules import (
+    RuleValidationError,
+    load_rules_with_retry,
+)
+
+GOOD_CFG = {
+    "version": "1.0.0",
+    "rules": [
+        {"name": "r1", "matches": [{"field_name": "text", "regex": "x"}]}
+    ],
+}
+
+
+class Flaky:
+    def __init__(self, fail_times: int, exc: Exception | None = None):
+        self.calls = 0
+        self.fail_times = fail_times
+        self.exc = exc or OSError("transient")
+
+    def __call__(self):
+        self.calls += 1
+        if self.calls <= self.fail_times:
+            raise self.exc
+        return "ok"
+
+
+def test_succeeds_after_transient_failures():
+    delays: list[float] = []
+    fn = Flaky(2)
+    out = retry_call(fn, sleep=delays.append, rng=random.Random(0))
+    assert out == "ok"
+    assert fn.calls == 3
+    # attempt-k delay = 0.1 * 2^k plus [0, 25%) jitter, capped at 10 s
+    assert 0.1 <= delays[0] < 0.125
+    assert 0.2 <= delays[1] < 0.25
+
+
+def test_exhaustion_raises_retry_error_chained():
+    fn = Flaky(99)
+    with pytest.raises(RetryError) as ei:
+        retry_call(fn, max_retries=3, sleep=lambda _s: None)
+    assert fn.calls == 4  # max_retries+1 attempts, no sleep after the last
+    assert isinstance(ei.value.__cause__, OSError)
+
+
+def test_non_retryable_raises_immediately():
+    fn = Flaky(99, exc=ValueError("permanent"))
+    with pytest.raises(ValueError):
+        retry_call(
+            fn,
+            retryable=lambda e: not isinstance(e, ValueError),
+            sleep=lambda _s: None,
+        )
+    assert fn.calls == 1
+
+
+def test_delay_capped_at_max_delay():
+    delays: list[float] = []
+    fn = Flaky(6)
+    retry_call(
+        fn,
+        max_retries=6,
+        base_delay=1.0,
+        max_delay=3.0,
+        jitter=False,
+        sleep=delays.append,
+    )
+    assert delays == [1.0, 2.0, 3.0, 3.0, 3.0, 3.0]
+
+
+def test_load_rules_with_retry_flaky_loader(monkeypatch, tmp_path):
+    """A config store that fails twice then serves the file (the
+    cmd/main.go:248-254 path: every load wrapped in backoff)."""
+    import ctlp_spark.rules as rules_mod
+
+    real = rules_mod.load_rules
+    state = {"calls": 0}
+
+    def flaky_load(source, *, validate=True):
+        state["calls"] += 1
+        if state["calls"] <= 2:
+            raise OSError("store unavailable")
+        return real(source, validate=validate)
+
+    monkeypatch.setattr(rules_mod, "load_rules", flaky_load)
+    cfg = load_rules_with_retry(GOOD_CFG, sleep=lambda _s: None)
+    assert cfg.rule_names == ["r1"]
+    assert state["calls"] == 3
+
+
+def test_load_rules_with_retry_validation_error_not_retried():
+    bad = {"version": "1.0.0", "rules": []}
+    with pytest.raises(RuleValidationError):
+        load_rules_with_retry(bad, sleep=lambda _s: None)
+
+
+def test_cached_loader_retries_when_enabled(monkeypatch):
+    import ctlp_spark.rules as rules_mod
+    from ctlp_spark.rules import CachedConfigLoader
+
+    real = rules_mod.load_rules
+    state = {"calls": 0}
+
+    def flaky_load(source, *, validate=True):
+        state["calls"] += 1
+        if state["calls"] <= 1:
+            raise OSError("store unavailable")
+        return real(source, validate=validate)
+
+    monkeypatch.setattr(rules_mod, "load_rules", flaky_load)
+    loader = CachedConfigLoader(
+        GOOD_CFG, ttl_seconds=300, max_retries=2, sleep=lambda _s: None
+    )
+    assert loader.load().rule_names == ["r1"]
+    assert state["calls"] == 2

@@ -243,3 +243,23 @@ rules:
     assert res.passed_count == 1
     assert res.filter_rate == 0.75
     assert res.rule_hits == {"rule-a": 2, "rule-b": 1}
+
+
+def test_export_rules_roundtrip():
+    """config-export converter (cmd/config-export/main.go analogue):
+    yaml→json→yaml roundtrips to the identical config."""
+    from ctlp_spark.gen import DEFAULT_RULES_YAML
+    from ctlp_spark.rules import export_rules, load_rules
+
+    cfg = load_rules(DEFAULT_RULES_YAML)
+    as_json = export_rules(cfg, "json")
+    as_yaml = export_rules(load_rules(as_json), "yaml")
+    again = load_rules(as_yaml)
+    assert again == cfg
+
+    import pytest as _pytest
+
+    from ctlp_spark.rules import RuleValidationError
+
+    with _pytest.raises(RuleValidationError, match="unknown export format"):
+        export_rules(cfg, "toml")

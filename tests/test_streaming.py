@@ -67,6 +67,55 @@ def test_stream_matches_batch(spark, stream_src, tmp_path):
     assert n_files == 3
 
 
+def test_side_sink_receives_batch_notifications(spark, stream_src, tmp_path):
+    """S7/R3 trigger mirror: one message per committed micro-batch, carrying
+    the batch id + sink paths (aws.go:29-71 broadcast analogue)."""
+    import json
+
+    from ctlp_spark.sinks import file_broadcaster
+
+    out = str(tmp_path / "out")
+    notify_path = str(tmp_path / "notify.jsonl")
+    q = run_stream_pipeline(
+        read_transcript_stream(spark, stream_src),
+        default_rules(),
+        out,
+        str(tmp_path / "ckpt"),
+        json_columns=JSON_COLUMNS,
+        side_sink=file_broadcaster(notify_path),
+    )
+    q.awaitTermination(120)
+    msgs = [json.loads(line) for line in open(notify_path)]
+    assert len(msgs) >= 1
+    assert {m["batch_id"] for m in msgs} == set(range(len(msgs)))
+    for m in msgs:
+        assert os.path.isdir(m["kept_path"])
+
+
+def test_side_sink_failure_never_fails_the_pipeline(spark, stream_src, tmp_path):
+    """The R3 invariant: a broadcast failure is swallowed — sinks commit,
+    the query completes, counters match the no-side-sink run."""
+    def exploding_sink(_msg):
+        raise ConnectionError("SNS endpoint unreachable")
+
+    exploding_sink.errors = []
+    cfg = default_rules()
+    out = str(tmp_path / "out")
+    q = run_stream_pipeline(
+        read_transcript_stream(spark, stream_src),
+        cfg,
+        out,
+        str(tmp_path / "ckpt"),
+        json_columns=JSON_COLUMNS,
+        side_sink=exploding_sink,
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    kept, hits = _sink_counts(spark, out)
+    assert kept > 0 and hits
+    assert exploding_sink.errors  # failures were recorded, not raised
+
+
 def test_stream_resume_is_exactly_once(spark, stream_src, tmp_path):
     """Run with maxFilesPerTrigger=1, stop after the first micro-batch,
     restart from the same checkpoint: no duplicated rows in the sinks."""
