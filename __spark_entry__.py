@@ -532,12 +532,23 @@ FROM documents"""
 
 def q_m2_decode_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas decode stage (deterministic stub codec —
-    no media libs in this container). No SQL oracle: validated by
-    tests/test_multimodal.py (rows-only check here)."""
+    no media libs in this container). The stub is a pure function of the
+    payload bytes, so the whole Arrow round-trip is hash-checked against
+    a byte-exact DuckDB twin."""
     from ctlp_spark.functions import multimodal as M
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return M.decode_media(M.media_from_docs(docs))
+
+
+def q_m3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-to-many mapInPandas frame sampling (up to 8 pseudo-frames per
+    doc, content-hashed) — the fan-out Python-stage shape, oracle-checked
+    on this ASCII corpus (multimodal.sql_frame_sample caveat)."""
+    from ctlp_spark.functions import multimodal as M
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return M.frame_sample(M.media_from_docs(docs))
 
 
 def q_s5_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -546,6 +557,15 @@ def q_s5_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return A.embedding_neardup_pairs(emb)
+
+
+def _m_sql(kind: str) -> str:
+    from ctlp_spark.functions import multimodal as M
+
+    return {
+        "decode": M.sql_decode_media(),
+        "frames": M.sql_frame_sample(),
+    }[kind]
 
 
 def _ann_sql(kind: str) -> str:
@@ -607,6 +627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s5_embed_neardup": q_s5_embed_neardup,
         "m1_media_metadata": q_m1_media_metadata,
         "m2_decode_media": q_m2_decode_media,
+        "m3_frame_sample": q_m3_frame_sample,
         "c1_conv_stats": q_c1_conv_stats,
         "c2_turn_deltas": q_c2_turn_deltas,
         "c3_sessionize": q_c3_sessionize,
@@ -639,6 +660,8 @@ def oracle_sql() -> dict[str, str]:
         "s4_lsh_band_candidates": _ann_sql("band_cand"),
         "s5_embed_neardup": _ann_sql("neardup"),
         "m1_media_metadata": _M1_SQL,
+        "m2_decode_media": _m_sql("decode"),
+        "m3_frame_sample": _m_sql("frames"),
         "c1_conv_stats": _C1_SQL,
         "c2_turn_deltas": _C2_SQL,
         "c3_sessionize": _C3_SQL,

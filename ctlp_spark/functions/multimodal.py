@@ -116,6 +116,52 @@ def decode_media_real(media: DataFrame) -> DataFrame:  # pragma: no cover
     raise NotImplementedError("wire PIL decode here")
 
 
+# DuckDB twin of media_from_docs → decode_media (the stub codec is a pure
+# deterministic function of the payload bytes, so the Arrow plumbing is
+# hash-checkable end-to-end). Byte access goes through hex() — DuckDB
+# cannot slice BLOBs — so this twin is byte-exact for any payload.
+def sql_decode_media(t: str = "documents") -> str:
+    pay = "encode(text)"
+    n = f"octet_length({pay})"
+    first = f"(CAST(('0x' || substr(hex({pay}), 1, 2)) AS BIGINT) % 64 + 1)"
+    last = f"(CAST(('0x' || substr(hex({pay}), 2 * {n} - 1, 2)) AS BIGINT) % 64 + 1)"
+    mt = "['image','audio','video'][CAST(doc_id % 3 AS INT) + 1]"
+    return f"""
+SELECT doc_id,
+       {mt} AS media_type,
+       CAST({n} AS BIGINT) AS n_bytes,
+       CAST(CASE WHEN {n} = 0 THEN 0 ELSE {first} END AS BIGINT) AS width,
+       CAST(CASE WHEN {n} = 0 THEN 0 ELSE {last} END AS BIGINT) AS height,
+       CAST(CASE WHEN {n} = 0 THEN 0
+                 WHEN {mt} = 'image' THEN 1
+                 ELSE {n} % 32 + 1 END AS BIGINT) AS n_frames,
+       {n} > 0 AS ok
+FROM {t}"""
+
+
+# DuckDB twin of frame_sample. CAVEAT: DuckDB's md5 only hashes VARCHAR,
+# so the twin slices the text character-wise — byte-identical to the
+# Python-side hashlib.md5(bytes) ONLY on an ASCII corpus (asserted true
+# for the generated documents tables at every SF). Real binary frames
+# hash Python-side in both paths, so the caveat is test-only.
+def sql_frame_sample(
+    t: str = "documents", every_n_bytes: int = 16, max_frames: int = 8
+) -> str:
+    n = "octet_length(encode(text))"
+    return f"""
+WITH f AS (
+  SELECT doc_id, text,
+         unnest(generate_series(
+           0, least({max_frames}, greatest(1, {n} // {every_n_bytes})) - 1
+         )) AS frame_idx
+  FROM {t} WHERE text IS NOT NULL
+)
+SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       md5(substring(text, frame_idx * {every_n_bytes} + 1, {every_n_bytes}))
+         AS frame_md5
+FROM f"""
+
+
 FRAME_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
     T.StructField("frame_idx", T.LongType()),
