@@ -463,6 +463,7 @@ def _dedup_sql(kind: str) -> str:
         "simhash": D.sql_simhash(),
         "simhash_near": D.sql_simhash_near_pairs(),
         "neardup_pipeline": D.sql_neardup_pipeline(),
+        "neardup_groups": D.sql_neardup_groups(),
     }[kind]
 
 
@@ -470,6 +471,15 @@ def _dedup_sql(kind: str) -> str:
 # ---------------------------------------------------------------------------
 # similarity-search queries (embeddings table)
 # ---------------------------------------------------------------------------
+
+
+def q_d8_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION: near-dup pairs → connected components (iterative
+    min-label propagation; recursive-CTE twin) → per-doc canonical flag."""
+    from ctlp_spark.functions import dedup as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return D.neardup_groups(docs)
 
 
 def q_s1_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -620,6 +630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d5_simhash": q_d5_simhash,
         "d6_simhash_near": q_d6_simhash_near,
         "d7_neardup_pipeline": q_d7_neardup_pipeline,
+        "d8_neardup_groups": q_d8_neardup_groups,
         "s1_ann_bruteforce": q_s1_ann_bruteforce,
         "s2_ann_ivf": q_s2_ann_ivf,
         "s3_lsh_buckets": q_s3_lsh_buckets,
@@ -654,6 +665,7 @@ def oracle_sql() -> dict[str, str]:
         "d5_simhash": _dedup_sql("simhash"),
         "d6_simhash_near": _dedup_sql("simhash_near"),
         "d7_neardup_pipeline": _dedup_sql("neardup_pipeline"),
+        "d8_neardup_groups": _dedup_sql("neardup_groups"),
         "s1_ann_bruteforce": _ann_sql("brute"),
         "s2_ann_ivf": _ann_sql("ivf"),
         "s3_lsh_buckets": _ann_sql("buckets"),

@@ -47,17 +47,66 @@ SIM_BANDS = 4  # 16-bit chunks for the hamming candidate join
 # ---------------------------------------------------------------------------
 
 
-def shingles(col, n: int = 3):
-    """Distinct word n-gram shingles of the normalized text (array<string>).
-    Documents shorter than n tokens yield a single whole-text shingle so
-    they still participate in dedup."""
-    toks = F.split(norm_text(col), " ")
+def tokens(col):
+    """Normalized whitespace tokens (array<string>)."""
+    return F.split(norm_text(col), " ")
+
+
+def shingles_from_tokens(toks, n: int = 3):
+    """Distinct word n-gram shingles from a MATERIALIZED token-array
+    column. The lambda below references ``toks`` per sequence element; if
+    ``toks`` is an inline split(norm_text(...)) expression rather than an
+    attribute, interpreted evaluation re-runs the regex normalization PER
+    SHINGLE INDEX — O(tokens²) regex work per document (measured 4-5× on
+    the minhash family). Callers project tokens first (it stays projected:
+    non-cheap + referenced twice, so CollapseProject keeps it)."""
     k = F.size(toks)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(k - (n - 1), F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
     return F.array_distinct(grams)
+
+
+def shingles(col, n: int = 3):
+    """Distinct word n-gram shingles of the normalized text (array<string>).
+    Documents shorter than n tokens yield a single whole-text shingle so
+    they still participate in dedup. Inline form — hot paths use the
+    two-step tokens() → shingles_from_tokens() projection instead."""
+    return shingles_from_tokens(tokens(col), n)
+
+
+def _shingle_frame(docs: DataFrame, n: int, id_col: str, text_col: str, out: str):
+    """(doc, <out>=array<string> of shingles) with the token array
+    materialized in its own projection (see shingles_from_tokens)."""
+    return docs.select(
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("_toks")
+    ).select("doc", shingles_from_tokens(F.col("_toks"), n).alias(out))
+
+
+def shingle_rows(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc, sh) one row per shingle POSITION — lambda-free and therefore
+    whole-stage-codegen-able: higher-order-function lambdas execute on the
+    interpreted path (~13 µs per element — 4 s for 260k shingles), while
+    explode(sequence) + slice/concat_ws stay in generated code. NOT
+    deduplicated: MinHash minima are multiset-invariant, so the minhash
+    family consumes this directly; set-semantics consumers (exact Jaccard)
+    apply .distinct() / collect_set on top."""
+    toked = docs.select(
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("_toks")
+    )
+    k = F.size("_toks")
+    return toked.select(
+        "doc",
+        "_toks",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(k - (n - 1), F.lit(1)))
+        ).alias("_i"),
+    ).select(
+        "doc", F.concat_ws(" ", F.slice("_toks", F.col("_i"), n)).alias("sh")
+    )
 
 
 def sql_shingles(t: str, n: int = 3) -> str:
@@ -162,9 +211,11 @@ def ngram_jaccard_pairs(
     """Exact Jaccard-similar pairs via shingle self-join. Outputs exact
     integer intersection/union sizes plus jaccard in ppm (integer division —
     engine-independent). At 100 TB this runs on LSH candidates only."""
-    sh = docs.select(
-        F.col(id_col).alias("doc"), F.explode(shingles(F.col(text_col), n)).alias("sh")
-    ).cache()  # reused 3× (both self-join sides + sizes); avoids re-shingling
+    sh = (
+        shingle_rows(docs, n, id_col, text_col)
+        .distinct()  # set semantics: Jaccard is over DISTINCT shingles
+        .cache()  # reused 3× (both self-join sides + sizes); avoids re-shingling
+    )
     _CACHED_FRAMES.append(sh)  # released via release_caches() (long sessions)
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     pairs = (
@@ -220,9 +271,11 @@ def minhash_signatures(
 ) -> DataFrame:
     """K min-hash values per doc: one explode + one groupBy with K min aggs
     (map-side partial aggregation keeps the shuffle tiny)."""
-    sh = docs.select(
-        F.col(id_col).alias("doc"), F.explode(shingles(F.col(text_col), n)).alias("s")
-    ).select("doc", shingle_hash(F.col("s")).alias("h"))
+    # multiset shingles: duplicates cannot change a MIN, so no distinct —
+    # the whole scan→shingle→hash→partial-min stage is one codegen span
+    sh = shingle_rows(docs, n, id_col, text_col).select(
+        "doc", shingle_hash(F.col("sh")).alias("h")
+    )
     aggs = [
         F.min((F.col("h") * a + b) % P).alias(f"mh{i}")
         for i, (a, b) in enumerate(HASH_AB)
@@ -427,6 +480,116 @@ SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
 FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= {max_hamming}"""
 
 
+def connected_components(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation — the dedup
+    DECISION step: every doc's group id becomes the smallest doc id in its
+    near-dup cluster (deterministic; the canonical keeper is group_id
+    itself).
+
+    Each iteration is one distributed pass: labels hash-join the
+    (symmetrized) edge list and take the min over neighbors — O(E) shuffle
+    per round, rounds = graph diameter. Near-dup clusters are tiny and
+    dense (diameter ≲ 3), so this converges in a handful of rounds even at
+    10^12 docs; the driver only sees one scalar per round (the label sum,
+    strictly decreasing until fixpoint — the convergence test).
+    ``localCheckpoint`` truncates the growing lineage each round (use a
+    reliable checkpoint dir on a real cluster).
+
+    Returns (node, label) — every input node, labeled by its component min.
+    """
+    # materialize the edge list ONCE: it is read again every iteration (and
+    # the symmetrized union reads `pairs` twice) — without this the entire
+    # upstream pair derivation (LSH → verify) re-executes per round
+    edges = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).unionByName(
+        pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    ).localCheckpoint()
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).localCheckpoint()
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
+def neardup_groups(
+    docs: DataFrame,
+    n: int = 3,
+    threshold_ppm: int = 300_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """End-to-end dedup decision: LSH→verify near-dup pairs → connected
+    components → per-doc (group_id, group_size, is_canonical). Keep rows
+    where is_canonical; at 100 TB this is THE final dedup operator."""
+    pairs = neardup_pipeline(docs, n, threshold_ppm, id_col, text_col)
+    nodes = docs.select(F.col(id_col).alias("doc"))
+    cc = connected_components(nodes, pairs)
+    w = Window.partitionBy("group_id")
+    return (
+        cc.select(
+            F.col("node").alias(id_col), F.col("label").alias("group_id")
+        )
+        .withColumn("group_size", F.count("*").over(w))
+        .withColumn("is_canonical", F.col(id_col) == F.col("group_id"))
+    )
+
+
+def sql_neardup_groups(
+    t: str = "documents", n: int = 3, threshold_ppm: int = 300_000
+) -> str:
+    """DuckDB twin of neardup_groups: the same pair list, then component
+    minima via a recursive CTE (min reachable id == min-label fixpoint)."""
+    return f"""
+WITH RECURSIVE {_sql_neardup_ctes(t, n)},
+pairs AS (
+  SELECT doc_a, doc_b FROM verified
+  WHERE CAST(floor((inter * 1000000) / union_sz) AS BIGINT) >= {threshold_ppm}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach AS (
+  SELECT doc_id AS node, doc_id AS r FROM {t}
+  UNION
+  SELECT e.dst AS node, reach.r FROM reach JOIN edges e ON e.src = reach.node
+),
+grp AS (SELECT node AS doc_id, min(r) AS group_id FROM reach GROUP BY node)
+SELECT doc_id, group_id,
+       count(*) OVER (PARTITION BY group_id) AS group_size,
+       doc_id = group_id AS is_canonical
+FROM grp"""
+
+
 def jaccard_on_candidates(
     docs: DataFrame,
     candidates: DataFrame,
@@ -440,8 +603,13 @@ def jaccard_on_candidates(
     scale. Shingle SETS are joined to the (doc_a, doc_b) pair list (two
     hash joins keyed on doc id) and intersected per pair with
     array_intersect — no explode, no pair blow-up beyond the candidates."""
-    sets = docs.select(
-        F.col(id_col).alias("doc"), shingles(F.col(text_col), n).alias("sh")
+    # distinct shingle SETS via codegen-able rows + collect_set (one
+    # doc-keyed shuffle) instead of a per-element HOF lambda; set ops
+    # downstream (array_intersect/size) are order-insensitive
+    sets = (
+        shingle_rows(docs, n, id_col, text_col)
+        .groupBy("doc")
+        .agg(F.collect_set("sh").alias("sh"))
     )
     joined = (
         candidates.join(
@@ -492,17 +660,16 @@ def neardup_pipeline(
     )
 
 
-def sql_neardup_pipeline(
-    t: str = "documents", n: int = 3, threshold_ppm: int = 300_000
-) -> str:
+def _sql_neardup_ctes(t: str, n: int) -> str:
+    """CTE list producing ``verified`` (LSH candidates with exact
+    inter/union) — shared by the d7 twin and the d8 recursive-CTE twin."""
     band_rows = " UNION ALL ".join(
         f"SELECT doc, {bi} AS band_idx, md5(concat_ws('_', "
         + ", ".join(f"mh{bi * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
         + ")) AS band_key FROM sig"
         for bi in range(BANDS)
     )
-    return f"""
-WITH {_sql_minhash_cte(t, n)},
+    return f"""{_sql_minhash_cte(t, n)},
 bands AS ({band_rows}),
 cand AS (
   SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
@@ -518,7 +685,14 @@ verified AS (
   FROM cand
   JOIN sets sa ON sa.doc = doc_a
   JOIN sets sb ON sb.doc = doc_b
-)
+)"""
+
+
+def sql_neardup_pipeline(
+    t: str = "documents", n: int = 3, threshold_ppm: int = 300_000
+) -> str:
+    return f"""
+WITH {_sql_neardup_ctes(t, n)}
 SELECT doc_a, doc_b, inter, union_sz,
        CAST(floor((inter * 1000000) / union_sz) AS BIGINT) AS jaccard_ppm
 FROM verified

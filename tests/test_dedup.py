@@ -36,6 +36,49 @@ def test_jaccard_on_candidates_matches_full_join(spark, docs):
             assert vals[0] == 0
 
 
+def test_connected_components_hand_graph(spark):
+    """Min-label propagation on a known graph: a 4-chain (needs >1
+    iteration), a triangle, and isolated nodes."""
+    nodes = spark.createDataFrame([(i,) for i in range(9)], "doc bigint")
+    #   chain 1-2-3-4, triangle 5-6-7, isolates 0 and 8
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6), (6, 7), (5, 7)],
+        "doc_a bigint, doc_b bigint",
+    )
+    got = {
+        r.node: r.label
+        for r in D.connected_components(nodes, pairs).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 5, 8: 8}
+
+
+def test_neardup_groups_consistent_with_pairs(spark, docs):
+    """Group membership must be exactly the transitive closure of the d7
+    pair list, with the min id canonical."""
+    pairs = [
+        (r.doc_a, r.doc_b) for r in D.neardup_pipeline(docs).collect()
+    ]
+    groups = {r.doc_id: r.group_id for r in D.neardup_groups(docs).collect()}
+    # every paired doc shares its partner's group
+    for a, b in pairs:
+        assert groups[a] == groups[b]
+    # python union-find oracle
+    parent = {d: d for d in groups}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for d, g in groups.items():
+        assert find(d) == g
+
+
 def test_lsh_recall_of_high_jaccard_pairs(spark, docs):
     """LSH (12 hashes, 3 bands of 4) must catch most truly-similar pairs:
     with per-row collision prob s^4 per band, a 0.5-Jaccard pair collides
