@@ -217,19 +217,12 @@ SELECT conv_id, turn_idx, role, tool, text, epoch_us(ts) AS ts_us FROM t
 
 def q_t1_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (whitespace + BPE-ish), stopword/diversity ratios and
-    composite quality score — all JVM-side column expressions."""
+    composite quality score — all JVM-side column expressions, one pass
+    over a materialized (norm, tokens) projection."""
     from ctlp_spark.functions import text as X
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    c = F.col("text")
-    return docs.select(
-        "doc_id",
-        X.token_count(c).cast("bigint").alias("n_tokens"),
-        X.bpe_ish_token_count(c).cast("bigint").alias("n_bpe_tokens"),
-        X.n_stopword_tokens(c).cast("bigint").alias("n_stop"),
-        X.n_distinct_tokens(c).cast("bigint").alias("n_distinct"),
-        X.quality_ppm(c).cast("bigint").alias("quality_ppm"),
-    )
+    return X.text_stats(docs)
 
 
 def _t1_sql() -> str:
@@ -251,7 +244,7 @@ def q_t2_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return (
-        docs.select(X.lang_id(F.col("text")).alias("lang_pred"))
+        X.lang_id_frame(docs)
         .groupBy("lang_pred")
         .agg(F.count("*").alias("n"))
     )

@@ -83,21 +83,32 @@ def brute_force_topk(
     query's own cell is scored — a BroadcastHashJoin whose key prunes the
     compare set by construction (gated in test_plans.py: no Cartesian /
     nested-loop join in the plan), not a post-hoc filter over a crossJoin."""
+    # norms are per-VECTOR: compute them below the join (once per vector,
+    # in the projections feeding the join) instead of per candidate pair —
+    # 3× less fold work; the cosine VALUE is unchanged (same dot fold,
+    # same norm expression, same division shape as the DuckDB twin)
     q = emb.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q"), F.col("embedding").alias("qv"),
-        F.col("label").alias("qlabel"),
+        F.col("label").alias("qlabel"), _norm(F.col("embedding")).alias("qn"),
+    )
+    corpus = emb.select(
+        "vec_id", "embedding", "label", _norm(F.col("embedding")).alias("vn")
     )
     cond = F.col("vec_id") != F.col("q")
     if same_label_only:
-        joined = emb.join(
+        joined = corpus.join(
             F.broadcast(q), on=F.col("label") == F.col("qlabel"), how="inner"
         ).where(cond)
     else:
-        joined = emb.crossJoin(F.broadcast(q)).where(cond)
+        joined = corpus.crossJoin(F.broadcast(q)).where(cond)
     scored = joined.select(
         "q",
         F.col("vec_id").alias("neighbor"),
-        F.floor(cosine(F.col("qv"), F.col("embedding")) * 1_000_000)
+        F.floor(
+            _dot(F.col("qv"), F.col("embedding"))
+            / (F.col("qn") * F.col("vn"))
+            * 1_000_000
+        )
         .cast("bigint")
         .alias("cos_ppm"),
     )
@@ -283,13 +294,14 @@ def embedding_neardup_pairs(
     precomputed cluster/IVF cell): the self-join shuffles on label only and
     compares within cells — at 10^12 scale the blocking IS the algorithm;
     raise the cell count, never the pair count."""
+    # per-vector norms computed below the join (see brute_force_topk note)
     a = emb.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
-        "label",
+        "label", _norm(F.col("embedding")).alias("na"),
     )
     b = emb.select(
         F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
-        "label",
+        "label", _norm(F.col("embedding")).alias("nb"),
     )
     return (
         a.join(b, "label")
@@ -298,7 +310,11 @@ def embedding_neardup_pairs(
             "vec_a",
             "vec_b",
             "label",
-            F.floor(cosine(F.col("ea"), F.col("eb")) * 1_000_000)
+            F.floor(
+                _dot(F.col("ea"), F.col("eb"))
+                / (F.col("na") * F.col("nb"))
+                * 1_000_000
+            )
             .cast("bigint")
             .alias("cos_ppm"),
         )
