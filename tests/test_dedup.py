@@ -52,6 +52,43 @@ def test_connected_components_hand_graph(spark):
     assert got == {0: 0, 1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 5, 8: 8}
 
 
+def test_connected_components_random_graphs_match_union_find(spark):
+    """Fuzz: min-label propagation equals a python union-find oracle on
+    seeded random graphs (including long chains that need several
+    propagation rounds)."""
+    import random
+
+    for seed in range(5):
+        rng = random.Random(seed)
+        n = rng.randint(5, 40)
+        m = rng.randint(0, 2 * n)
+        edges = [
+            tuple(sorted(rng.sample(range(n), 2))) for _ in range(m)
+        ] + [(i, i + 1) for i in range(0, min(n - 1, 12))]  # a chain
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "doc bigint")
+        pairs = spark.createDataFrame(
+            edges or [(0, 0)], "doc_a bigint, doc_b bigint"
+        )
+        got = {
+            r.node: r.label
+            for r in D.connected_components(nodes, pairs).collect()
+        }
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {i: find(i) for i in range(n)}
+        assert got == want, f"seed={seed}"
+
+
 def test_neardup_groups_consistent_with_pairs(spark, docs):
     """Group membership must be exactly the transitive closure of the d7
     pair list, with the min id canonical."""
