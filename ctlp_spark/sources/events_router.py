@@ -1,0 +1,91 @@
+"""Trigger-event router: SNS envelope JSON → ordered work items.
+
+Behavioral twin of the reference's snsevents processor
+(/root/reference/pkg/snsevents/snsevents.go:42-95): a trigger payload is an
+SNS event envelope whose Records each carry a JSON message string; two
+message shapes are supported and selected by configuration —
+
+* ``cloudtrail`` — CloudTrail's own notification:
+  ``{"s3Bucket": "...", "s3ObjectKey": ["key1", ...]}``;
+* ``s3``        — a standard S3 event:
+  ``{"Records": [{"s3": {"bucket": {"name": ...}, "object": {"key": ...}}}]}``.
+
+Each referenced object becomes one work item, in envelope order (the
+reference processes them sequentially through Copier.Copy). Malformed JSON
+or an unknown payload type raises — the reference returns an error for
+both, letting the Lambda retry deliver the envelope again.
+
+This is driver-side plumbing (an envelope names a handful of objects);
+the heavy lifting stays in the resumable pipeline runner it feeds.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable
+
+PAYLOAD_TYPES = ("cloudtrail", "s3")
+
+
+class EventRouteError(ValueError):
+    """Malformed envelope/message or unsupported payload type."""
+
+
+def extract_work_items(
+    envelope_json: str, payload_type: str = "cloudtrail"
+) -> list[tuple[str, str]]:
+    """Parse one SNS event envelope into ordered (bucket, key) work items."""
+    if payload_type not in PAYLOAD_TYPES:
+        raise EventRouteError(
+            f"failed to process SNSPayloadType: {payload_type}"
+        )
+    try:
+        envelope = json.loads(envelope_json)
+    except json.JSONDecodeError as exc:
+        raise EventRouteError(f"malformed SNS envelope: {exc}") from exc
+    items: list[tuple[str, str]] = []
+    for rec in envelope.get("Records", []):
+        message = (rec.get("Sns") or rec.get("SNS") or {}).get("Message", "")
+        try:
+            body = json.loads(message)
+        except json.JSONDecodeError as exc:
+            raise EventRouteError(f"malformed SNS message: {exc}") from exc
+        if payload_type == "cloudtrail":
+            bucket = body.get("s3Bucket", "")
+            for key in body.get("s3ObjectKey", []):
+                items.append((bucket, key))
+        else:  # "s3"
+            for s3rec in body.get("Records", []):
+                s3 = s3rec.get("s3", {})
+                items.append(
+                    (
+                        s3.get("bucket", {}).get("name", ""),
+                        s3.get("object", {}).get("key", ""),
+                    )
+                )
+    return items
+
+
+def route_envelope_to_pipeline(
+    spark,
+    envelope_json: str,
+    cfg,
+    out_dir: str,
+    manifest_path: str,
+    resolve_path: Callable[[str, str], str],
+    payload_type: str = "cloudtrail",
+    **run_kwargs,
+):
+    """End-to-end trigger handling: envelope → work items → resumable
+    pipeline run over the resolved input files. ``resolve_path`` maps
+    (bucket, key) to a readable path/URI (s3a://, file:, ...) — the
+    deployment-specific piece the reference hides inside its S3 client.
+    Already-committed files are skipped by the manifest (idempotent under
+    trigger redelivery, like Lambda retry + same-key overwrite)."""
+    from ctlp_spark.sources.io import run_resumable
+
+    items = extract_work_items(envelope_json, payload_type)
+    files = [resolve_path(bucket, key) for bucket, key in items]
+    return run_resumable(
+        spark, files, cfg, out_dir, manifest_path, **run_kwargs
+    )

@@ -1,0 +1,81 @@
+"""Trigger-event router parity (snsevents.go:42-95 behavior table)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from ctlp_spark.sources.events_router import (
+    EventRouteError,
+    extract_work_items,
+    route_envelope_to_pipeline,
+)
+
+
+def _envelope(*messages: dict) -> str:
+    return json.dumps(
+        {"Records": [{"Sns": {"Message": json.dumps(m)}} for m in messages]}
+    )
+
+
+def test_cloudtrail_payload_ordered_items():
+    env = _envelope(
+        {"s3Bucket": "b1", "s3ObjectKey": ["k1", "k2"]},
+        {"s3Bucket": "b2", "s3ObjectKey": ["k3"]},
+    )
+    assert extract_work_items(env, "cloudtrail") == [
+        ("b1", "k1"), ("b1", "k2"), ("b2", "k3"),
+    ]
+
+
+def test_s3_payload_items():
+    env = _envelope({
+        "Records": [
+            {"s3": {"bucket": {"name": "b"}, "object": {"key": "x.json.gz"}}},
+            {"s3": {"bucket": {"name": "b"}, "object": {"key": "y.json.gz"}}},
+        ]
+    })
+    assert extract_work_items(env, "s3") == [
+        ("b", "x.json.gz"), ("b", "y.json.gz"),
+    ]
+
+
+def test_unknown_payload_type_raises():
+    with pytest.raises(EventRouteError, match="SNSPayloadType"):
+        extract_work_items("{}", "kafka")
+
+
+def test_malformed_envelope_and_message_raise():
+    with pytest.raises(EventRouteError, match="envelope"):
+        extract_work_items("not json", "cloudtrail")
+    bad_msg = json.dumps({"Records": [{"Sns": {"Message": "not json"}}]})
+    with pytest.raises(EventRouteError, match="message"):
+        extract_work_items(bad_msg, "cloudtrail")
+
+
+def test_route_envelope_runs_resumable_idempotently(spark, tmp_path):
+    """Envelope → resolved local files → pipeline; redelivery of the same
+    envelope re-processes nothing (manifest skip — the Lambda-retry twin)."""
+    from ctlp_spark.gen import JSON_COLUMNS, default_rules, write_transcripts
+
+    files = {}
+    for i in range(2):
+        sub = tmp_path / f"gen{i}"
+        write_transcripts(str(sub), n_rows=1500, seed=50 + i, with_expected=False)
+        files[f"key{i}"] = str(sub / "transcripts.parquet")
+    env = _envelope({"s3Bucket": "bkt", "s3ObjectKey": list(files)})
+
+    manifest = str(tmp_path / "m.json")
+    kwargs = dict(json_columns=JSON_COLUMNS)
+    res1 = route_envelope_to_pipeline(
+        spark, env, default_rules(), str(tmp_path / "out"), manifest,
+        resolve_path=lambda _b, k: files[k], **kwargs,
+    )
+    assert res1.total == 3000
+    res2 = route_envelope_to_pipeline(
+        spark, env, default_rules(), str(tmp_path / "out"), manifest,
+        resolve_path=lambda _b, k: files[k], **kwargs,
+    )
+    assert res2.total == res1.total  # nothing re-processed, totals stable
+    assert res2.rule_hits == res1.rule_hits
