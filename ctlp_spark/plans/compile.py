@@ -215,12 +215,30 @@ def matched_rule_pandas(
         import warnings
 
         import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
         # pandas warns that a grouped pattern "has match groups" — substring
         # search (not extraction) is exactly the reference's semantics
         warnings.filterwarnings(
             "ignore", message="This pattern is interpreted as a regular expression"
         )
+
+        def contains(sub: pd.Series, pat: re.Pattern) -> "np.ndarray":
+            # Arrow's RE2 kernel is ~10× pandas str.contains; rules are
+            # validated into the RE2-safe subset at load time
+            # (rules.validate_pattern), and RE2 is the reference's own
+            # engine — the Go regexp package. NULL → no-match, like na=False.
+            try:
+                # type=string(): an all-null slice infers the null type,
+                # which the regex kernel has no kernel for
+                hit = pc.match_substring_regex(
+                    pa.Array.from_pandas(sub, type=pa.string()), pat.pattern
+                ).to_numpy(zero_copy_only=False)
+                return np.where(pd.isna(hit), False, hit).astype(bool)
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                # pattern outside RE2 / exotic input (defensive)
+                return sub.str.contains(pat, na=False).to_numpy(dtype=bool)
 
         n = len(series[0]) if series else 0
         result = pd.Series([None] * n, dtype=object)
@@ -234,15 +252,11 @@ def matched_rule_pandas(
                     break
                 # evaluate only still-candidate rows (per-rule masking — the
                 # vectorized analogue of the early-exit loop)
-                sub = series[col_i][mask]
-                hit = sub.str.contains(pat, na=False).to_numpy(dtype=bool)
-                mask[mask] = hit
+                mask[mask] = contains(series[col_i][mask], pat)
             for col_i, pat in excludes:
                 if not mask.any():
                     break
-                sub = series[col_i][mask]
-                veto = sub.str.contains(pat, na=False).to_numpy(dtype=bool)
-                mask[mask] = ~veto
+                mask[mask] = ~contains(series[col_i][mask], pat)
             if mask.any():
                 result[mask] = name
                 unmatched &= ~mask
