@@ -1,0 +1,80 @@
+"""Cross-engine determinism fuzz: the text/dedup kernels must produce
+bit-identical results in Spark and DuckDB on corpora beyond the driver's
+fixtures (seeded random docs: edge whitespace, empty strings, repeated
+tokens, punctuation runs, long tokens). This is the property the whole
+oracle strategy rests on (CLAUDE.md invariants; memory:
+driver-oracle-gotchas)."""
+
+from __future__ import annotations
+
+import random
+import string
+
+import duckdb
+import pandas as pd
+import pytest
+
+from ctlp_spark.functions import dedup as D
+from ctlp_spark.functions import text as X
+
+
+def _random_docs(seed: int, n: int = 120) -> pd.DataFrame:
+    rng = random.Random(seed)
+    words = ["the", "a", "of", "to", "tool", "timeout", "données", "xyz",
+             "SEARCH", "api", "zz" * 30, "p.q!r", "0042", ""]
+    docs = []
+    for i in range(n):
+        k = rng.randint(0, 40)
+        toks = [rng.choice(words) for _ in range(k)]
+        sep = rng.choice([" ", "  ", "\t", " \n "])
+        body = sep.join(toks)
+        pad = rng.choice(["", " ", "\t\t", "\n"])
+        docs.append(pad + body + pad)
+    # duplicates + shared prefixes to exercise dedup paths
+    docs[0] = docs[1]
+    if n > 10:
+        docs[5] = docs[6] + " extra"
+    return pd.DataFrame({"doc_id": range(n), "text": docs})
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_text_and_dedup_kernels_match_duckdb(spark, seed):
+    pdf = _random_docs(seed)
+    sdf = spark.createDataFrame(pdf)
+    con = duckdb.connect()
+    con.register("documents", pdf)
+
+    checks = {
+        "t1": (
+            X.text_stats(sdf),
+            f"""SELECT doc_id,
+CAST({X.SQL_TOKEN_COUNT.format(t='text')} AS BIGINT) AS n_tokens,
+CAST({X.SQL_BPE_COUNT.format(t='text')} AS BIGINT) AS n_bpe_tokens,
+CAST({X.SQL_N_STOP.format(t='text')} AS BIGINT) AS n_stop,
+CAST({X.SQL_N_DISTINCT.format(t='text')} AS BIGINT) AS n_distinct,
+CAST({X.SQL_QUALITY_PPM.format(t='text')} AS BIGINT) AS quality_ppm
+FROM documents""",
+        ),
+        "t3": (
+            sdf.select(
+                "doc_id",
+                X.fingerprint_md5(sdf["text"]).alias("fp_md5"),
+                X.rolling_fingerprint(sdf["text"]).alias("fp_rolling"),
+            ),
+            f"""SELECT doc_id, {X.SQL_FINGERPRINT.format(t='text')} AS fp_md5,
+{X.SQL_ROLLING_FP.format(t='text')} AS fp_rolling FROM documents""",
+        ),
+        "d3": (D.minhash_signatures(sdf), D.sql_minhash_signatures()),
+        "d5": (D.simhash(sdf), D.sql_simhash()),
+        "d7": (
+            D.neardup_pipeline(sdf, threshold_ppm=0),
+            D.sql_neardup_pipeline(threshold_ppm=0),
+        ),
+    }
+    for name, (spark_df, sql) in checks.items():
+        got = sorted(map(tuple, spark_df.collect()))
+        want = sorted(map(tuple, con.sql(sql).fetchall()))
+        assert got == want, (
+            f"{name} diverged on seed {seed}: "
+            f"{[p for p in zip(got, want) if p[0] != p[1]][:3]}"
+        )
