@@ -38,7 +38,7 @@ import time
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 CACHE_ROOT = os.environ.get("CTLP_BENCH_CACHE", "/tmp/ctlp_bench")
-ITERS = int(os.environ.get("CTLP_BENCH_ITERS", "2"))
+ITERS = int(os.environ.get("CTLP_BENCH_ITERS", "3"))
 
 
 def _shm_dir() -> str:

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import re
+from collections.abc import Callable
 from dataclasses import dataclass, field
 
 try:  # PyYAML is present in the image, but gate anyway
@@ -186,21 +187,70 @@ def _config_from_obj(obj: dict) -> RuleConfig:
     )
 
 
+# Scheme registry — the reference's ConfigLoader interface + env dispatch
+# (pkg/config/loader.go:21-24, 293-348) re-expressed driver-side: a source
+# spelled "<scheme>://<rest>" resolves through a registered fetcher. The
+# AWS fetchers (s3/ssm/secretsmanager) are deployment plug-ins a user
+# registers with their own client; "file" ships built in. Everything
+# downstream (validation, TTL cache, retry) is fetcher-agnostic.
+_SCHEME_FETCHERS: dict[str, "Callable[[str], str]"] = {}
+
+
+def register_config_scheme(scheme: str, fetch) -> None:
+    """Register ``fetch(rest) -> yaml/json text`` for ``scheme://rest``
+    sources (e.g. an s3:// fetcher wrapping boto3)."""
+    _SCHEME_FETCHERS[scheme] = fetch
+
+
+def _resolve_source_text(source: str) -> str:
+    scheme, _, rest = source.partition("://")
+    if _ and scheme in _SCHEME_FETCHERS:
+        return _SCHEME_FETCHERS[scheme](rest)
+    if _ and scheme == "file":
+        with open(rest, encoding="utf-8") as fh:
+            return fh.read()
+    if _ and scheme.isalnum():
+        raise RuleValidationError(
+            f"no config fetcher registered for scheme {scheme!r} "
+            f"(register_config_scheme)"
+        )
+    if "\n" not in source and (
+        source.endswith((".yaml", ".yml", ".json")) or "/" in source
+    ):
+        with open(source, encoding="utf-8") as fh:
+            return fh.read()
+    return source
+
+
+def loader_from_env(env: dict | None = None) -> "CachedConfigLoader":
+    """Env-dispatch twin of the reference (loader.go:293-348 /
+    cmd/main.go:278-328): CTLP_RULES names the source (any registered
+    scheme, a path, or inline YAML/JSON); CTLP_RULES_TTL_SECONDS and
+    CTLP_RULES_MAX_RETRIES tune the cache/backoff (defaults 300 s / 3)."""
+    import os
+
+    env = dict(os.environ) if env is None else env
+    source = env.get("CTLP_RULES")
+    if not source:
+        raise RuleValidationError("CTLP_RULES is not set")
+    return CachedConfigLoader(
+        source,
+        ttl_seconds=float(env.get("CTLP_RULES_TTL_SECONDS", "300")),
+        max_retries=int(env.get("CTLP_RULES_MAX_RETRIES", "3")),
+    )
+
+
 def load_rules(source: str | dict, *, validate: bool = True) -> RuleConfig:
-    """Load a rule config from a YAML/JSON file path, a YAML/JSON string, or
-    an already-parsed dict. Driver-side only — the analogue of the
-    reference's config loaders (pkg/config/loader.go:21-208); remote loaders
-    (S3/SSM/SecretsManager) are out of scope per SURVEY.md §7.4.
+    """Load a rule config from a YAML/JSON file path, a ``scheme://`` source
+    (see :func:`register_config_scheme`), a YAML/JSON string, or an
+    already-parsed dict. Driver-side only — the analogue of the reference's
+    config loaders (pkg/config/loader.go:21-208); the S3/SSM/SecretsManager
+    fetchers themselves are deployment plug-ins (no AWS endpoint here).
     """
     if isinstance(source, dict):
         obj = source
     else:
-        text = source
-        if "\n" not in source and (
-            source.endswith((".yaml", ".yml", ".json")) or "/" in source
-        ):
-            with open(source, encoding="utf-8") as fh:
-                text = fh.read()
+        text = _resolve_source_text(source)
         stripped = text.lstrip()
         if stripped.startswith("{"):
             obj = json.loads(text)

@@ -263,3 +263,40 @@ def test_export_rules_roundtrip():
 
     with _pytest.raises(RuleValidationError, match="unknown export format"):
         export_rules(cfg, "toml")
+
+
+def test_config_scheme_registry_and_env_dispatch(monkeypatch, tmp_path):
+    """S8 loader-interface shape (loader.go:21-24, 293-348): scheme://
+    sources resolve through registered fetchers; env dispatch builds the
+    TTL+retry cached loader; unknown schemes fail loudly."""
+    import json as _json
+
+    import ctlp_spark.rules as R
+
+    cfg_obj = {
+        "version": "1.0.0",
+        "rules": [{"name": "r1", "matches": [{"field_name": "text", "regex": "x"}]}],
+    }
+    store = {"bucket/rules.json": _json.dumps(cfg_obj)}
+    R.register_config_scheme("s3", lambda rest: store[rest])
+    try:
+        cfg = R.load_rules("s3://bucket/rules.json")
+        assert cfg.rule_names == ["r1"]
+
+        with pytest.raises(R.RuleValidationError, match="no config fetcher"):
+            R.load_rules("ssm://param/x")
+
+        p = tmp_path / "rules.json"
+        p.write_text(_json.dumps(cfg_obj))
+        assert R.load_rules(f"file://{p}").rule_names == ["r1"]
+
+        loader = R.loader_from_env({
+            "CTLP_RULES": "s3://bucket/rules.json",
+            "CTLP_RULES_TTL_SECONDS": "60",
+            "CTLP_RULES_MAX_RETRIES": "2",
+        })
+        assert loader.load().rule_names == ["r1"]
+        with pytest.raises(R.RuleValidationError, match="CTLP_RULES"):
+            R.loader_from_env({})
+    finally:
+        R._SCHEME_FETCHERS.pop("s3", None)
