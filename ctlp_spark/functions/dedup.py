@@ -493,14 +493,19 @@ def connected_components(
     near-dup cluster (deterministic; the canonical keeper is group_id
     itself).
 
-    Each iteration is one distributed pass: labels hash-join the
-    (symmetrized) edge list and take the min over neighbors — O(E) shuffle
-    per round, rounds = graph diameter. Near-dup clusters are tiny and
-    dense (diameter ≲ 3), so this converges in a handful of rounds even at
-    10^12 docs; the driver only sees one scalar per round (the label sum,
+    Each iteration is two distributed passes: (1) labels hash-join the
+    (symmetrized) edge list and take the min over neighbors, (2) pointer
+    halving — every node also adopts its current label's label — so label
+    paths double per round and rounds = O(log(diameter)), not diameter
+    (a 40-link chain of pairwise near-dups converges in ~7 rounds, and a
+    pathological 10^6-link chain in ~21). Near-dup clusters are usually
+    tiny and dense, so typical convergence is 2-3 rounds even at 10^12
+    docs; the driver only sees one scalar per round (the label sum,
     strictly decreasing until fixpoint — the convergence test).
     ``localCheckpoint`` truncates the growing lineage each round (use a
-    reliable checkpoint dir on a real cluster).
+    reliable checkpoint dir on a real cluster). Exhausting ``max_iters``
+    without converging raises rather than silently returning partially
+    propagated labels.
 
     Returns (node, label) — every input node, labeled by its component min.
     """
@@ -522,21 +527,37 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_min"))
         )
+        stepped = labels.join(
+            nbr_min, labels["node"] == nbr_min["src"], "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce("nbr_min", F.col("label"))
+            ).alias("label"),
+        )
+        # pointer halving: adopt label's label (labels only ever shrink,
+        # so least() keeps correctness while doubling propagation reach)
+        lut = stepped.select(
+            F.col("node").alias("lnode"), F.col("label").alias("llabel")
+        )
         labels = (
-            labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
+            stepped.join(lut, stepped["label"] == lut["lnode"], "left")
             .select(
                 "node",
                 F.least(
-                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
+                    F.col("label"), F.coalesce("llabel", F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint()
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
-            break
+            return labels
         prev_sum = cur_sum
-    return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} rounds "
+        f"(component diameter > 2^{max_iters}?) — raise max_iters"
+    )
 
 
 def neardup_groups(

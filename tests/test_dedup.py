@@ -52,6 +52,22 @@ def test_connected_components_hand_graph(spark):
     assert got == {0: 0, 1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 5, 8: 8}
 
 
+def test_connected_components_long_chain_converges_fast(spark):
+    """Pointer halving makes rounds O(log(diameter)): a 100-link chain of
+    pairwise near-dups must converge well inside max_iters=20 (one-hop
+    propagation alone would need 100 rounds and silently mislabel)."""
+    n = 100
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc bigint")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a bigint, doc_b bigint"
+    )
+    got = {
+        r.node: r.label
+        for r in D.connected_components(nodes, pairs, max_iters=20).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+
+
 def test_connected_components_random_graphs_match_union_find(spark):
     """Fuzz: min-label propagation equals a python union-find oracle on
     seeded random graphs (including long chains that need several
