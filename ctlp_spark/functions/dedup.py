@@ -76,14 +76,6 @@ def shingles(col, n: int = 3):
     return shingles_from_tokens(tokens(col), n)
 
 
-def _shingle_frame(docs: DataFrame, n: int, id_col: str, text_col: str, out: str):
-    """(doc, <out>=array<string> of shingles) with the token array
-    materialized in its own projection (see shingles_from_tokens)."""
-    return docs.select(
-        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("_toks")
-    ).select("doc", shingles_from_tokens(F.col("_toks"), n).alias(out))
-
-
 def shingle_rows(
     docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -624,11 +616,26 @@ def jaccard_on_candidates(
     scale. Shingle SETS are joined to the (doc_a, doc_b) pair list (two
     hash joins keyed on doc id) and intersected per pair with
     array_intersect — no explode, no pair blow-up beyond the candidates."""
-    # distinct shingle SETS via codegen-able rows + collect_set (one
-    # doc-keyed shuffle) instead of a per-element HOF lambda; set ops
-    # downstream (array_intersect/size) are order-insensitive
+    # Only docs that appear in a candidate pair need shingle sets — a
+    # semi-join restriction BEFORE shingling (candidates are a vanishing
+    # fraction of the corpus at scale, so the collect_set shuffle is over
+    # candidate docs' shingles, never the full corpus). Sets built from
+    # codegen-able shingle rows + collect_set; set ops downstream
+    # (array_intersect/size) are order-insensitive.
+    # the candidate list is read 3× below (semi-join ids + both pair-side
+    # joins); materialize it once so the upstream blocking derivation
+    # (LSH bands) never re-executes
+    candidates = candidates.localCheckpoint()
+    cand_ids = (
+        candidates.select(F.col("doc_a").alias(id_col))
+        .unionByName(candidates.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
     sets = (
-        shingle_rows(docs, n, id_col, text_col)
+        shingle_rows(
+            docs.join(cand_ids, on=id_col, how="left_semi"),
+            n, id_col, text_col,
+        )
         .groupBy("doc")
         .agg(F.collect_set("sh").alias("sh"))
     )
