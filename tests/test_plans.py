@@ -87,6 +87,55 @@ def test_ivf_topk_prunes_by_cell_join(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_minhash_single_exchange_with_partial_agg(spark):
+    """scan → shingle → hash → K min-aggs must be one shuffle with
+    map-side partial aggregation (the whole point of min-hash at scale)."""
+    from ctlp_spark.functions import dedup as D
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(D.minhash_signatures(docs))
+    assert plan.count("Exchange") == 1, plan
+    assert "partial_min" in plan or "HashAggregate" in plan
+
+
+def test_blocking_joins_are_equi_joins(spark):
+    """Every LSH/banding candidate join must be a hash equi-join on the
+    blocking key — a Cartesian/nested-loop product here is the quadratic
+    blow-up the blocking exists to prevent."""
+    from ctlp_spark.functions import ann as A
+    from ctlp_spark.functions import dedup as D
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    for df in (
+        D.lsh_candidate_pairs(docs),
+        D.simhash_near_pairs(docs),
+        A.lsh_band_candidates(emb),
+    ):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_text_stats_is_pure_map(spark):
+    """t1 is per-row arithmetic — any Exchange is a regression."""
+    from ctlp_spark.functions import text as X
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert "Exchange" not in _plan(X.text_stats(docs))
+
+
+def test_multimodal_decode_is_arrow_batched(spark):
+    """The decode stage must run as Arrow-batched mapInPandas — never a
+    row-at-a-time Python UDF (BatchEvalPython)."""
+    from ctlp_spark.functions import multimodal as M
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(M.decode_media(M.media_from_docs(docs)))
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan, plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_salted_repartition_spreads_hot_conversation(spark, transcripts):
     """Hot conv rows must land in >1 partition after salting (the skew
     defense), while cold conversations stay co-located per salt bucket."""
