@@ -283,6 +283,53 @@ def _t3_sql() -> str:
 FROM documents"""
 
 
+def q_t4_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-5 tf·idf terms with EXACT integer idf_milli =
+    (N·1000) div df (ln() is libm-dependent in the last ulp; rational
+    integer idf hashes identically in both engines)."""
+    from ctlp_spark.functions import text as X
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return X.tfidf_top_terms(docs, k=5)
+
+
+def q_t5_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash stratified sampling of transcript turns
+    (per-role rates): identical selection across partitionings, resumes
+    and engines — df.sample() is neither."""
+    from ctlp_spark.functions import sampling as S
+
+    df = transcripts_from_events(spark, sf_dir).withColumn(
+        "_k", F.concat_ws("#", "conv_id", "turn_idx")
+    )
+    out = S.stratified_sample(
+        df, "role", _T5_RATES, key_col="_k", default_ppm=50_000
+    )
+    return out.select("conv_id", "turn_idx", "role")
+
+
+_T5_RATES = {"user": 500_000, "assistant": 250_000, "tool": 100_000}
+
+
+def _t4_sql() -> str:
+    from ctlp_spark.functions import text as X
+
+    return X.sql_tfidf_top_terms(k=5)
+
+
+def _t5_sql() -> str:
+    from ctlp_spark.functions import sampling as S
+
+    pred = S.sql_stratified_sample_predicate(
+        "role", _T5_RATES,
+        key="conv_id || '#' || CAST(turn_idx AS VARCHAR)",
+        default_ppm=50_000,
+    )
+    return f"""
+WITH t AS ({TRANSCRIPTS_SQL_DUCKDB})
+SELECT conv_id, turn_idx, role FROM t WHERE {pred}"""
+
+
 # ---------------------------------------------------------------------------
 # dedup queries (training-data pipeline extensions, documents table)
 # ---------------------------------------------------------------------------
@@ -616,6 +663,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t1_text_stats": q_t1_text_stats,
         "t2_lang_id": q_t2_lang_id,
         "t3_fingerprints": q_t3_fingerprints,
+        "t4_tfidf_top_terms": q_t4_tfidf_top_terms,
+        "t5_stratified_sample": q_t5_stratified_sample,
         "d1_exact_dedup": q_d1_exact_dedup,
         "d2_ngram_jaccard": q_d2_ngram_jaccard,
         "d3_minhash_signatures": q_d3_minhash_signatures,
@@ -651,6 +700,8 @@ def oracle_sql() -> dict[str, str]:
         "t1_text_stats": _t1_sql(),
         "t2_lang_id": _t2_sql(),
         "t3_fingerprints": _t3_sql(),
+        "t4_tfidf_top_terms": _t4_sql(),
+        "t5_stratified_sample": _t5_sql(),
         "d1_exact_dedup": _dedup_sql("exact"),
         "d2_ngram_jaccard": _dedup_sql("jaccard"),
         "d3_minhash_signatures": _dedup_sql("minhash"),

@@ -1,0 +1,77 @@
+"""Deterministic sampling for training-data pipelines.
+
+`df.sample()` is seed-and-partitioning dependent — re-running after a
+repartition, resume, or cluster resize selects DIFFERENT rows, which is
+unacceptable for reproducible dataset builds. These operators sample by
+content hash instead: row r is selected iff
+``md5(salt:key(r)) mod 1e6 < rate_ppm`` — a pure function of the row key,
+so the sample is identical across partitionings, engines (shared 60-bit
+md5 construction, bit-equal in DuckDB), resumes and scale-ups, and is a
+per-row filter: no shuffle, fully pushdown-friendly.
+
+Stratified variant: per-stratum rates via a broadcast rate map (the
+standard class-balance knob), same hash → same stability guarantees.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HASH_MOD = 1_000_000
+
+
+def sample_hash(key_col: Column, salt: str = "sample") -> Column:
+    """Uniform [0, 1e6) bucket from the shared 60-bit md5 hash of
+    salt:key — deterministic and engine-portable."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{salt}:"), key_col.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    return h % HASH_MOD
+
+
+def sql_sample_hash(key: str, salt: str = "sample") -> str:
+    return (
+        f"(CAST(('0x' || substr(md5('{salt}:' || CAST({key} AS VARCHAR)), 1, 15)) "
+        f"AS BIGINT) % {HASH_MOD})"
+    )
+
+
+def deterministic_sample(
+    df: DataFrame, rate_ppm: int, key_col: str, salt: str = "sample"
+) -> DataFrame:
+    """Keep rows whose hash bucket < rate_ppm (~rate_ppm/1e6 of rows)."""
+    return df.where(sample_hash(F.col(key_col), salt) < rate_ppm)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates_ppm: dict[str, int],
+    key_col: str,
+    default_ppm: int = 0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: stratum s keeps ~rates_ppm[s]
+    ppm of its rows (unlisted strata keep default_ppm). The rate map is a
+    literal CASE (config-sized), so this stays a shuffle-free filter."""
+    rate: Column = F.lit(default_ppm)
+    for value, ppm in sorted(rates_ppm.items()):
+        rate = F.when(F.col(strata_col) == value, F.lit(ppm)).otherwise(rate)
+    return df.where(sample_hash(F.col(key_col), salt) < rate)
+
+
+def sql_stratified_sample_predicate(
+    strata: str, rates_ppm: dict[str, int], key: str,
+    default_ppm: int = 0, salt: str = "sample",
+) -> str:
+    branches = " ".join(
+        f"WHEN {strata} = '{v}' THEN {ppm}"
+        for v, ppm in sorted(rates_ppm.items())
+    )
+    return (
+        f"{sql_sample_hash(key, salt)} < "
+        f"(CASE {branches} ELSE {default_ppm} END)"
+    )

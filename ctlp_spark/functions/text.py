@@ -223,6 +223,81 @@ def lang_id_frame(docs, id_col: str = "doc_id", text_col: str = "text"):
     )
 
 
+def tfidf_top_terms(
+    docs, k: int = 5, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Per-doc top-k terms by tf·idf, in EXACT integer arithmetic so both
+    engines hash identically: idf_milli = (N·1000) div df (a rational
+    integer idf — ln() differs across libm implementations in the last
+    ulp, which the value-hash compare cannot tolerate), score_milli =
+    tf · idf_milli, ties broken by term. Plan: explode → (doc, term)
+    count → term df (map-side combinable) → broadcastable N → window
+    top-k per doc. Two shuffles plus the per-doc window — each keyed on
+    uniform term/doc hashes."""
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(norm_text(F.col(text_col)), " ")).alias("term"),
+    ).where(F.col("term") != "")
+    tf = toks.groupBy("doc", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc",
+            "term",
+            "tf",
+            (F.col("tf") * F.floor((F.col("n") * 1000) / F.col("df")).cast("bigint")).alias(
+                "score_milli"
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc").orderBy(
+        F.col("score_milli").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("doc").alias(id_col),
+            F.col("rank").cast("bigint").alias("rank"),
+            "term",
+            "tf",
+            "score_milli",
+        )
+    )
+
+
+def sql_tfidf_top_terms(t: str = "documents", k: int = 5) -> str:
+    norm = SQL_NORM.format(t="text")
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS doc, unnest(string_split({norm}, ' ')) AS term FROM {t}
+),
+tf AS (
+  SELECT doc, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n FROM {t}),
+scored AS (
+  SELECT doc, term, tf,
+         tf * CAST(floor((n.n * 1000) / df) AS BIGINT) AS score_milli
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc, term, tf, score_milli,
+         row_number() OVER (PARTITION BY doc
+                            ORDER BY score_milli DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc AS doc_id, CAST(rank AS BIGINT) AS rank, term,
+       CAST(tf AS BIGINT) AS tf, score_milli
+FROM ranked WHERE rank <= {k}"""
+
+
 def fingerprint_md5(col: Column) -> Column:
     """Exact-dup fingerprint: md5 of the normalized text."""
     return F.md5(norm_text(col))

@@ -146,3 +146,27 @@ def test_lsh_recall_of_high_jaccard_pairs(spark, docs):
     cand = {(r.doc_a, r.doc_b) for r in D.lsh_candidate_pairs(docs).collect()}
     recall = len(true_pairs & cand) / len(true_pairs)
     assert recall >= 0.6, f"LSH recall {recall:.2f} over {len(true_pairs)} pairs"
+
+
+def test_deterministic_sample_invariant_to_partitioning(spark, docs):
+    """The reproducibility property df.sample() lacks: identical selection
+    at any partitioning, and per-stratum rates land near target."""
+    from ctlp_spark.functions.sampling import (
+        deterministic_sample,
+        stratified_sample,
+    )
+
+    base = {r.doc_id for r in
+            deterministic_sample(docs, 300_000, "doc_id").select("doc_id").collect()}
+    reparted = {r.doc_id for r in
+                deterministic_sample(docs.repartition(17), 300_000, "doc_id")
+                .select("doc_id").collect()}
+    assert base == reparted
+    assert 0.2 < len(base) / docs.count() < 0.4
+
+    strat = docs.withColumn("bucket", (docs.doc_id % 2).cast("string"))
+    out = stratified_sample(
+        strat, "bucket", {"0": 1_000_000, "1": 0}, key_col="doc_id"
+    )
+    got = {r.doc_id for r in out.select("doc_id").collect()}
+    assert got == {r.doc_id for r in strat.where("bucket = '0'").collect()}
