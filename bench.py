@@ -272,10 +272,12 @@ def main() -> None:
     # Three levels → two 4× pairs. The primary scaling evidence is the
     # smallest pair (this VM supplies near-linear CPU only up to ~8 busy
     # threads for string workloads — single shared L3; see BASELINE.md).
-    # Per-JVM throughput on this host swings ±40% between instances, so the
-    # two scaling-pair levels run TWICE, interleaved, and iterations pool.
+    # Per-JVM throughput on this host swings ±40% between instances, so
+    # EVERY level runs in two interleaved JVMs and iterations pool (the
+    # round-2 query-plan fixes paid for the extra children: full bench
+    # ≈ 8 min, same as round 1).
     levels = sorted({max(1, CPUS // 16), max(1, CPUS // 4), CPUS})
-    schedule = levels + [min(levels)]
+    schedule = levels + levels[::-1]
     samples: dict[int, list[float]] = {c: [] for c in levels}
     ceilings: dict[int, list[float]] = {c: [] for c in levels}
     last: dict[int, dict] = {}
