@@ -492,6 +492,59 @@ FROM tagged GROUP BY 1, 2"""
 )
 
 
+def q_c5_asof_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (custom operator — Spark has no native one): every turn
+    gains the version of the latest checkpoint of its role at-or-before
+    its timestamp. Checkpoints are a deterministic ~3% hash-sample of
+    conversation starts; the DuckDB twin uses the engine's NATIVE
+    ASOF LEFT JOIN, so the union+window formulation is verified against
+    an independent first-class implementation."""
+    from ctlp_spark.functions.sampling import sample_hash
+    from ctlp_spark.functions.text import tok_hash
+    from ctlp_spark.operators.asof import asof_join
+
+    t = transcripts_from_events(spark, sf_dir)
+    cp = (
+        t.where(F.col("turn_idx") == 0)
+        .where(sample_hash(F.col("conv_id"), salt="ckpt") < 30_000)
+        .select(
+            "role",
+            F.col("ts").alias("cts"),
+            tok_hash(F.col("conv_id")).alias("ver"),
+        )
+        .groupBy("role", "cts")
+        .agg(F.max("ver").alias("ver"))
+    )
+    out = asof_join(
+        t, cp, keys=["role"], value_cols=["ver"],
+        left_ts="ts", right_ts="cts",
+    )
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.coalesce(F.col("ver"), F.lit(-1).cast("bigint")).alias("cp_ver"),
+    )
+
+
+def _c5_sql() -> str:
+    from ctlp_spark.functions.sampling import sql_sample_hash
+    from ctlp_spark.functions.text import SQL_TOK_HASH
+
+    ver = SQL_TOK_HASH.format(x="conv_id")
+    return f"""
+WITH t AS ({TRANSCRIPTS_SQL_DUCKDB}),
+cp0 AS (
+  SELECT role, ts AS cts, {ver} AS ver FROM t
+  WHERE turn_idx = 0 AND {sql_sample_hash('conv_id', 'ckpt')} < 30000
+),
+cp AS (SELECT role, cts, max(ver) AS ver FROM cp0 GROUP BY 1, 2)
+SELECT t.conv_id, t.turn_idx, t.role, epoch_us(t.ts) AS ts_us,
+       coalesce(c.ver, -1) AS cp_ver
+FROM t ASOF LEFT JOIN cp c ON t.role = c.role AND t.ts >= c.cts"""
+
+
 def _dedup_sql(kind: str) -> str:
     from ctlp_spark.functions import dedup as D
 
@@ -685,6 +738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c2_turn_deltas": q_c2_turn_deltas,
         "c3_sessionize": q_c3_sessionize,
         "c4_hourly_rollup": q_c4_hourly_rollup,
+        "c5_asof_checkpoint": q_c5_asof_checkpoint,
     }
 
 
@@ -722,4 +776,5 @@ def oracle_sql() -> dict[str, str]:
         "c2_turn_deltas": _C2_SQL,
         "c3_sessionize": _C3_SQL,
         "c4_hourly_rollup": _C4_SQL,
+        "c5_asof_checkpoint": _c5_sql(),
     }

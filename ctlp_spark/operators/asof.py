@@ -1,0 +1,76 @@
+"""As-of (point-in-time) join — a custom operator Spark lacks natively.
+
+``asof_join(left, right, keys, ...)`` attaches, to every left row, the
+value columns of the LATEST right row of the same key whose timestamp is
+``<=`` the left row's timestamp (the classic "which config/checkpoint/
+quote was active at this moment" join; DuckDB spells it natively as
+``ASOF LEFT JOIN`` — which is exactly the oracle used to verify this).
+
+Spark-first formulation (no per-row loops, no UDF):
+
+    union both sides (right rows carry the values, left rows carry NULLs)
+    → one window per key ordered by (ts, right-before-left on ties)
+    → last(value, ignorenulls=True) over unbounded-preceding..current
+    → keep left rows.
+
+Cost model: ONE shuffle of (|L|+|R|) rows on the join keys plus a per-key
+sort — the same price as a regular sort-merge join, with none of the
+range-explosion an inequality-join rewrite (`l.ts >= r.ts`) causes; both
+sides can be arbitrarily large. Ties: a right row at exactly the left
+row's timestamp IS matched (>=); multiple right rows at the same
+(key, ts) must be pre-deduplicated (the helper raises otherwise is NOT
+checked — document-level contract, like DuckDB's own ASOF).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_IS_RIGHT = "_asof_is_right"
+_TS = "_asof_ts"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    value_cols: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+) -> DataFrame:
+    """Backward as-of left join: every left row gains ``value_cols`` from
+    the latest right row with the same ``keys`` and right_ts <= left_ts
+    (NULL where no such row exists)."""
+    overlap = set(value_cols) & set(left.columns)
+    if overlap:
+        raise ValueError(f"value_cols already exist on the left side: {overlap}")
+    l_side = left.withColumn(_TS, F.col(left_ts)).withColumn(
+        _IS_RIGHT, F.lit(0)
+    )
+    r_side = right.select(
+        *keys, F.col(right_ts).alias(_TS), *value_cols
+    ).withColumn(_IS_RIGHT, F.lit(1))
+    # allowMissingColumns: left rows get NULL value_cols, right rows get
+    # NULL left columns — last(ignorenulls) then fills values forward
+    u = l_side.unionByName(r_side, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*keys)
+        # right rows sort BEFORE left rows at equal timestamps, so an
+        # exactly-simultaneous right row is matched (>= semantics)
+        .orderBy(F.col(_TS).asc(), F.col(_IS_RIGHT).desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        "*",
+        *[
+            F.last(F.col(v), ignorenulls=True).over(w).alias(f"_asof_{v}")
+            for v in value_cols
+        ],
+    )
+    out = filled.where(F.col(_IS_RIGHT) == 0)
+    for v in value_cols:
+        out = out.drop(v).withColumnRenamed(f"_asof_{v}", v)
+    return out.drop(_IS_RIGHT, _TS)

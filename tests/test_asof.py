@@ -1,0 +1,43 @@
+"""As-of join edge cases (tie at equal ts, no-match, per-key isolation).
+The driver query c5 additionally checks the operator against DuckDB's
+NATIVE ASOF LEFT JOIN at sf0.01."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from ctlp_spark.operators.asof import asof_join
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 10, minute)
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [("a", _ts(0), 1), ("a", _ts(5), 2), ("a", _ts(9), 3),
+         ("b", _ts(5), 4)],
+        "k string, ts timestamp_ntz, row_id int",
+    )
+    right = spark.createDataFrame(
+        [("a", _ts(1), 10), ("a", _ts(5), 20), ("b", _ts(6), 30)],
+        "k string, ts timestamp_ntz, v int",
+    )
+    out = {
+        r.row_id: r.v
+        for r in asof_join(left, right, keys=["k"], value_cols=["v"]).collect()
+    }
+    assert out == {
+        1: None,  # before any right row
+        2: 20,    # tie at equal ts IS matched (>=)
+        3: 20,    # latest at-or-before
+        4: None,  # key b's only right row is later
+    }
+
+
+def test_asof_join_rejects_column_collision(spark):
+    import pytest
+
+    df = spark.createDataFrame([("a", _ts(0), 1)], "k string, ts timestamp_ntz, v int")
+    with pytest.raises(ValueError, match="value_cols"):
+        asof_join(df, df, keys=["k"], value_cols=["v"])
