@@ -545,6 +545,47 @@ SELECT t.conv_id, t.turn_idx, t.role, epoch_us(t.ts) AS ts_us,
 FROM t ASOF LEFT JOIN cp c ON t.role = c.role AND t.ts >= c.cts"""
 
 
+def q_c6_range_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (custom operator — the naive BETWEEN spelling plans as a
+    nested-loop product): count turns inside 5-minute incident windows
+    anchored at a deterministic ~3% sample of conversation starts. The
+    bucketized equi-join is verified against DuckDB's exact inequality
+    join."""
+    from ctlp_spark.functions.sampling import sample_hash
+    from ctlp_spark.functions.text import tok_hash
+    from ctlp_spark.operators.ranges import range_join
+
+    t = transcripts_from_events(spark, sf_dir)
+    win = (
+        t.where(F.col("turn_idx") == 0)
+        .where(sample_hash(F.col("conv_id"), salt="win") < 30_000)
+        .select(
+            tok_hash(F.col("conv_id")).alias("win_id"),
+            F.col("ts").alias("w_start"),
+            (F.col("ts").cast("timestamp") + F.expr("INTERVAL 5 MINUTES"))
+            .alias("w_end"),
+        )
+    )
+    joined = range_join(t, win, left_ts="ts")
+    return joined.groupBy("win_id").agg(F.count("*").alias("n_turns"))
+
+
+def _c6_sql() -> str:
+    from ctlp_spark.functions.sampling import sql_sample_hash
+    from ctlp_spark.functions.text import SQL_TOK_HASH
+
+    ver = SQL_TOK_HASH.format(x="conv_id")
+    return f"""
+WITH t AS ({TRANSCRIPTS_SQL_DUCKDB}),
+win AS (
+  SELECT {ver} AS win_id, ts AS w_start, ts + INTERVAL 5 MINUTE AS w_end
+  FROM t WHERE turn_idx = 0 AND {sql_sample_hash('conv_id', 'win')} < 30000
+)
+SELECT win_id, count(*) AS n_turns
+FROM t JOIN win ON t.ts BETWEEN win.w_start AND win.w_end
+GROUP BY win_id"""
+
+
 def _dedup_sql(kind: str) -> str:
     from ctlp_spark.functions import dedup as D
 
@@ -739,6 +780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c3_sessionize": q_c3_sessionize,
         "c4_hourly_rollup": q_c4_hourly_rollup,
         "c5_asof_checkpoint": q_c5_asof_checkpoint,
+        "c6_range_window_counts": q_c6_range_window_counts,
     }
 
 
@@ -777,4 +819,5 @@ def oracle_sql() -> dict[str, str]:
         "c3_sessionize": _C3_SQL,
         "c4_hourly_rollup": _C4_SQL,
         "c5_asof_checkpoint": _c5_sql(),
+        "c6_range_window_counts": _c6_sql(),
     }

@@ -1,0 +1,53 @@
+"""Range (interval-containment) join — the second custom operator Spark
+lacks a first-class implementation of (the naive spelling
+``l.ts BETWEEN w.start AND w.end`` plans as BroadcastNestedLoopJoin /
+Cartesian, O(|L|·|W|)).
+
+Bucketized formulation: time is cut into fixed buckets; every left row
+has exactly ONE bucket, every window EXPLODES to the buckets it covers,
+and the join becomes a hash equi-join on bucket followed by the exact
+containment filter. Each qualifying (row, window) pair meets in exactly
+one bucket — the row's own — so no dedup step is needed. Cost:
+O(|L| + |W|·spans + matches) through one uniform-keyed shuffle; pick
+``bucket_micros`` ≈ the typical window length so spans stay small.
+The DuckDB oracle is the plain inequality join (exact semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_BUCKET = "_range_bucket"
+
+
+def range_join(
+    left: DataFrame,
+    windows: DataFrame,
+    left_ts: str = "ts",
+    start_col: str = "w_start",
+    end_col: str = "w_end",
+    bucket_micros: int = 300_000_000,  # 5 minutes
+) -> DataFrame:
+    """Inner containment join: every (left row, window) pair with
+    start <= left_ts <= end (inclusive both ends, like BETWEEN)."""
+    us = F.unix_micros(F.col(left_ts).cast("timestamp"))
+    lb = left.withColumn(_BUCKET, F.floor(us / bucket_micros))
+    s_us = F.unix_micros(F.col(start_col).cast("timestamp"))
+    e_us = F.unix_micros(F.col(end_col).cast("timestamp"))
+    wb = windows.withColumn(
+        _BUCKET,
+        F.explode(
+            F.sequence(
+                F.floor(s_us / bucket_micros), F.floor(e_us / bucket_micros)
+            )
+        ),
+    )
+    return (
+        lb.join(wb, _BUCKET)
+        .where(
+            (F.col(left_ts) >= F.col(start_col))
+            & (F.col(left_ts) <= F.col(end_col))
+        )
+        .drop(_BUCKET)
+    )

@@ -1,0 +1,72 @@
+"""Range-join semantics (inclusive bounds, bucket-boundary spans) and the
+plan gate that is this operator's reason to exist."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from ctlp_spark.operators.ranges import range_join
+
+
+def _ts(minute: int, second: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 10, minute, second)
+
+
+def test_range_join_inclusive_bounds_and_bucket_spans(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(0)), (2, _ts(5)), (3, _ts(10)), (4, _ts(7, 30)),
+         (5, _ts(59))],
+        "row_id int, ts timestamp_ntz",
+    )
+    # window exactly [10:05, 10:10] spans three 5-min buckets
+    win = spark.createDataFrame(
+        [(100, _ts(5), _ts(10))],
+        "win_id int, w_start timestamp_ntz, w_end timestamp_ntz",
+    )
+    got = sorted(
+        r.row_id for r in range_join(left, win).select("row_id").collect()
+    )
+    assert got == [2, 3, 4]  # both bounds inclusive; no dup for row 4
+
+
+def test_range_join_no_nested_loop(spark):
+    left = spark.createDataFrame([(1, _ts(0))], "row_id int, ts timestamp_ntz")
+    win = spark.createDataFrame(
+        [(1, _ts(0), _ts(5))],
+        "win_id int, w_start timestamp_ntz, w_end timestamp_ntz",
+    )
+    plan = (
+        range_join(left, win)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_range_join_matches_naive_between(spark):
+    """Exactness vs the naive crossJoin+filter on a seeded random set."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, _ts(rng.randint(0, 59), rng.randint(0, 59))) for i in range(80)]
+    wins = []
+    for w in range(12):
+        s = _ts(rng.randint(0, 55), rng.randint(0, 59))
+        wins.append((w, s, s + dt.timedelta(minutes=rng.randint(1, 9))))
+    left = spark.createDataFrame(rows, "row_id int, ts timestamp_ntz")
+    win = spark.createDataFrame(
+        wins, "win_id int, w_start timestamp_ntz, w_end timestamp_ntz"
+    )
+    got = {
+        (r.row_id, r.win_id)
+        for r in range_join(left, win, bucket_micros=120_000_000).collect()
+    }
+    naive = {
+        (r.row_id, r.win_id)
+        for r in left.crossJoin(win)
+        .where((F.col("ts") >= F.col("w_start")) & (F.col("ts") <= F.col("w_end")))
+        .collect()
+    }
+    assert got == naive
