@@ -545,6 +545,43 @@ SELECT t.conv_id, t.turn_idx, t.role, epoch_us(t.ts) AS ts_us,
 FROM t ASOF LEFT JOIN cp c ON t.role = c.role AND t.ts >= c.cts"""
 
 
+def q_c7_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-role p50/p90/p99 turn latency via rank selection (the
+    value at row ceil(q·n) of each role's sorted deltas) — interpolating
+    percentiles and sketches are engine-specific; order statistics are
+    exact and hash-comparable."""
+    from ctlp_spark.operators.conversation import (
+        latency_percentiles,
+        turn_deltas,
+    )
+
+    return latency_percentiles(
+        turn_deltas(transcripts_from_events(spark, sf_dir))
+    )
+
+
+_C7_QS = (500_000, 900_000, 990_000)
+_C7_SQL = f"""
+WITH t AS ({TRANSCRIPTS_SQL_DUCKDB}),
+d AS (
+  SELECT conv_id, turn_idx, role,
+         coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx), -1) AS delta_us
+  FROM t
+),
+ranked AS (
+  SELECT role, delta_us,
+         row_number() OVER (PARTITION BY role ORDER BY delta_us) AS rn,
+         count(*) OVER (PARTITION BY role) AS n
+  FROM d WHERE delta_us >= 0
+),
+qs AS (SELECT unnest([{", ".join(str(q) for q in _C7_QS)}]) AS q_ppm)
+SELECT role, CAST(q_ppm AS BIGINT) AS q_ppm,
+       delta_us AS value, n
+FROM ranked, qs
+WHERE rn = CAST(floor((q_ppm * n + 999999) / 1000000) AS BIGINT)"""
+
+
 def q_c6_range_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join (custom operator — the naive BETWEEN spelling plans as a
     nested-loop product): count turns inside 5-minute incident windows
@@ -781,6 +818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_hourly_rollup": q_c4_hourly_rollup,
         "c5_asof_checkpoint": q_c5_asof_checkpoint,
         "c6_range_window_counts": q_c6_range_window_counts,
+        "c7_latency_percentiles": q_c7_latency_percentiles,
     }
 
 
@@ -820,4 +858,5 @@ def oracle_sql() -> dict[str, str]:
         "c4_hourly_rollup": _C4_SQL,
         "c5_asof_checkpoint": _c5_sql(),
         "c6_range_window_counts": _c6_sql(),
+        "c7_latency_percentiles": _C7_SQL,
     }

@@ -77,6 +77,47 @@ def turn_deltas(df: DataFrame) -> DataFrame:
     )
 
 
+def latency_percentiles(
+    deltas: DataFrame,
+    qs_ppm: tuple[int, ...] = (500_000, 900_000, 990_000),
+    group_col: str = "role",
+    value_col: str = "delta_us",
+) -> DataFrame:
+    """EXACT per-group order statistics (p50/p90/p99 of turn latency) via
+    explicit rank selection: the value at row ceil(q·n) of each group's
+    sorted values. Interpolating percentile/median and t-digest/HLL-style
+    sketches are engine-specific (not oracle-comparable); rank selection
+    is exact, deterministic under ties (only the VALUE at the position is
+    emitted), and distributed — one per-group sort window, the same
+    shuffle any exact percentile requires. Sentinel/-negative rows
+    (first-turn -1 from turn_deltas) are excluded."""
+    d = deltas.where(F.col(value_col) >= 0)
+    w = Window.partitionBy(group_col).orderBy(value_col)
+    ranked = d.select(
+        group_col,
+        value_col,
+        F.row_number().over(w).alias("_rn"),
+        F.count("*").over(Window.partitionBy(group_col)).alias("_n"),
+    )
+    qs = F.explode(
+        F.array(*[F.lit(q).cast("bigint") for q in qs_ppm])
+    ).alias("q_ppm")
+    # target rank = ceil(q·n / 1e6) in pure integer arithmetic
+    target = F.floor(
+        (F.col("q_ppm") * F.col("_n") + 999_999) / 1_000_000
+    ).cast("bigint")
+    return (
+        ranked.select(group_col, value_col, "_rn", "_n", qs)
+        .where(F.col("_rn") == target)
+        .select(
+            group_col,
+            "q_ppm",
+            F.col(value_col).alias("value"),
+            F.col("_n").alias("n"),
+        )
+    )
+
+
 def sessionize(df: DataFrame, gap_minutes: int = 5) -> DataFrame:
     """Gap-based sessions within a conversation: session_idx increments
     whenever the gap to the previous turn exceeds ``gap_minutes``."""

@@ -49,3 +49,20 @@ def test_sessionize_monotone_and_dense(spark, transcripts):
         F.col("conv_id") == "conv-00000000").collect()}
     if len(conv0) >= 3:
         assert conv0[0] == 0 and conv0[1] == 0 and conv0[2] == 1
+
+
+def test_latency_percentiles_rank_selection(spark):
+    """Exact order statistics on known values: p50/p90/p99 of 1..10 per
+    group are the values at ranks ceil(q*10) = 5, 9, 10."""
+    from ctlp_spark.operators.conversation import latency_percentiles
+
+    rows = [("user", v) for v in range(1, 11)] + [("tool", 7), ("tool", -1)]
+    d = spark.createDataFrame(rows, "role string, delta_us bigint")
+    got = {
+        (r.role, r.q_ppm): (r.value, r.n)
+        for r in latency_percentiles(d).collect()
+    }
+    assert got[("user", 500_000)] == (5, 10)
+    assert got[("user", 900_000)] == (9, 10)
+    assert got[("user", 990_000)] == (10, 10)
+    assert got[("tool", 500_000)] == (7, 1)  # sentinel -1 excluded
