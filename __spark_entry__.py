@@ -623,6 +623,32 @@ FROM t JOIN win ON t.ts BETWEEN win.w_start AND win.w_end
 GROUP BY win_id"""
 
 
+def q_c8_daily_distinct_convs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-sink rollup with COUNT(DISTINCT conv_id) — the
+    distinct-aggregate shuffle shape (expand + two-phase agg) the hourly
+    rollup (c4) doesn't exercise."""
+    tagged = _tagged(spark, sf_dir, "native")
+    return tagged.groupBy(
+        F.unix_micros(
+            F.date_trunc("day", F.col("ts").cast("timestamp"))
+        ).alias("day_us"),
+        F.coalesce(MATCHED_RULE_COL, F.lit("kept")).alias("sink"),
+    ).agg(
+        F.countDistinct("conv_id").alias("n_convs"),
+        F.count("*").alias("n_turns"),
+    )
+
+
+_C8_SQL = (
+    _ORACLE_PRELUDE
+    + f"""SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+coalesce({MATCHED_RULE_COL}, 'kept') AS sink,
+CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+count(*) AS n_turns
+FROM tagged GROUP BY 1, 2"""
+)
+
+
 def _dedup_sql(kind: str) -> str:
     from ctlp_spark.functions import dedup as D
 
@@ -819,6 +845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c5_asof_checkpoint": q_c5_asof_checkpoint,
         "c6_range_window_counts": q_c6_range_window_counts,
         "c7_latency_percentiles": q_c7_latency_percentiles,
+        "c8_daily_distinct_convs": q_c8_daily_distinct_convs,
     }
 
 
@@ -859,4 +886,5 @@ def oracle_sql() -> dict[str, str]:
         "c5_asof_checkpoint": _c5_sql(),
         "c6_range_window_counts": _c6_sql(),
         "c7_latency_percentiles": _C7_SQL,
+        "c8_daily_distinct_convs": _C8_SQL,
     }
