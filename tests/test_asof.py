@@ -35,6 +35,25 @@ def test_asof_join_semantics(spark):
     }
 
 
+def test_asof_join_plan_is_one_exchange_no_join(spark):
+    """The operator's scale contract: union + per-key window = exactly one
+    shuffle on the keys and NO join operator (the inequality-join spelling
+    would plan a nested-loop product over |L|x|R|)."""
+    left = spark.createDataFrame(
+        [("a", _ts(0), 1)], "k string, ts timestamp_ntz, row_id int"
+    )
+    right = spark.createDataFrame(
+        [("a", _ts(1), 5)], "k string, ts timestamp_ntz, v int"
+    )
+    plan = (
+        asof_join(left, right, keys=["k"], value_cols=["v"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_asof_join_rejects_column_collision(spark):
     import pytest
 
