@@ -758,6 +758,16 @@ def q_m3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.frame_sample(M.media_from_docs(docs))
 
 
+def q_s6_multiprobe_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe sign-LSH: query bands probe their own key + every 1-bit
+    neighbor — the recall knob at fixed index selectivity (probes multiply
+    only the tiny query side)."""
+    from ctlp_spark.functions import ann as A
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return A.multiprobe_candidates(emb, n_queries=10)
+
+
 def q_s5_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, label-blocked (dedup family)."""
     from ctlp_spark.functions import ann as A
@@ -784,6 +794,7 @@ def _ann_sql(kind: str) -> str:
         "buckets": A.sql_lsh_buckets(),
         "band_cand": A.sql_lsh_band_candidates(),
         "neardup": A.sql_embedding_neardup_pairs(),
+        "multiprobe": A.sql_multiprobe_candidates(n_queries=10),
     }[kind]
 
 
@@ -835,6 +846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s3_lsh_buckets": q_s3_lsh_buckets,
         "s4_lsh_band_candidates": q_s4_lsh_band_candidates,
         "s5_embed_neardup": q_s5_embed_neardup,
+        "s6_multiprobe_candidates": q_s6_multiprobe_candidates,
         "m1_media_metadata": q_m1_media_metadata,
         "m2_decode_media": q_m2_decode_media,
         "m3_frame_sample": q_m3_frame_sample,
@@ -876,6 +888,7 @@ def oracle_sql() -> dict[str, str]:
         "s3_lsh_buckets": _ann_sql("buckets"),
         "s4_lsh_band_candidates": _ann_sql("band_cand"),
         "s5_embed_neardup": _ann_sql("neardup"),
+        "s6_multiprobe_candidates": _ann_sql("multiprobe"),
         "m1_media_metadata": _M1_SQL,
         "m2_decode_media": _m_sql("decode"),
         "m3_frame_sample": _m_sql("frames"),

@@ -287,6 +287,84 @@ FROM bands x JOIN bands y USING (band_idx, band_key)
 WHERE x.vec_id < y.vec_id"""
 
 
+def multiprobe_candidates(
+    emb: DataFrame, n_queries: int = 10, band_bits: int = BAND_BITS
+) -> DataFrame:
+    """Multi-probe sign-LSH: each QUERY band probes its own key plus every
+    1-bit-flipped neighbor key (17 probes per 16-bit band) — the standard
+    recall knob at fixed index selectivity: a near neighbor that disagrees
+    on exactly one plane of a band is still found, without widening the
+    bands for the whole corpus. Candidate generation stays a hash
+    equi-join on (band_idx, key); the probe explosion multiplies only the
+    tiny query side (n_queries · bands · (band_bits+1) rows)."""
+    n_bands = N_PLANES // band_bits
+    mask = (1 << band_bits) - 1
+    b = lsh_buckets(emb)
+    bands = b.select(
+        "vec_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band_idx"),
+                    F.shiftright(F.col("bucket"), i * band_bits)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("band_key"),
+                )
+                for i in range(n_bands)
+            ])
+        ).alias("bk"),
+    ).select("vec_id", "bk.band_idx", "bk.band_key")
+    probes = bands.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q"),
+        "band_idx",
+        F.explode(
+            F.array(
+                F.col("band_key"),
+                *[
+                    F.col("band_key").bitwiseXOR(F.lit(1 << j))
+                    for j in range(band_bits)
+                ],
+            )
+        ).alias("probe_key"),
+    )
+    return (
+        probes.join(
+            bands,
+            (probes["band_idx"] == bands["band_idx"])
+            & (probes["probe_key"] == bands["band_key"]),
+        )
+        .where(F.col("vec_id") != F.col("q"))
+        .select("q", F.col("vec_id").alias("cand"))
+        .distinct()
+    )
+
+
+def sql_multiprobe_candidates(
+    t: str = "embeddings", n_queries: int = 10,
+    band_bits: int = BAND_BITS, dim: int = DIM,
+) -> str:
+    n_bands = N_PLANES // band_bits
+    mask = (1 << band_bits) - 1
+    band_rows = " UNION ALL ".join(
+        f"SELECT vec_id, {i} AS band_idx, (bucket >> {i * band_bits}) & {mask} AS band_key FROM b"
+        for i in range(n_bands)
+    )
+    probe_list = ", ".join(
+        ["band_key"] + [f"xor(band_key, {1 << j})" for j in range(band_bits)]
+    )
+    return f"""
+WITH b AS (SELECT vec_id, {sql_lsh_bucket('embedding', dim)} AS bucket FROM {t}),
+bands AS ({band_rows}),
+probes AS (
+  SELECT vec_id AS q, band_idx, unnest([{probe_list}]) AS probe_key
+  FROM bands WHERE vec_id < {n_queries}
+)
+SELECT DISTINCT p.q, x.vec_id AS cand
+FROM probes p JOIN bands x
+  ON p.band_idx = x.band_idx AND p.probe_key = x.band_key
+WHERE x.vec_id <> p.q"""
+
+
 def embedding_neardup_pairs(
     emb: DataFrame, threshold_ppm: int = 350_000
 ) -> DataFrame:
