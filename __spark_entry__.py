@@ -504,19 +504,30 @@ def q_c5_asof_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ctlp_spark.operators.asof import asof_join
 
     t = transcripts_from_events(spark, sf_dir)
+    # ~20% of checkpoints carry a NULL version ON PURPOSE: DuckDB's ASOF
+    # matches the row and yields NULL (not an older non-NULL version), so
+    # this fixture pins the matched-ROW semantics of asof_join. cts_at is
+    # a second value column duplicating the checkpoint ts — it must come
+    # from the SAME matched row as ver (no per-column row tearing).
     cp = (
         t.where(F.col("turn_idx") == 0)
         .where(sample_hash(F.col("conv_id"), salt="ckpt") < 30_000)
         .select(
             "role",
             F.col("ts").alias("cts"),
-            tok_hash(F.col("conv_id")).alias("ver"),
+            F.when(
+                sample_hash(F.col("conv_id"), salt="ckptnull") < 200_000,
+                F.lit(None).cast("bigint"),
+            )
+            .otherwise(tok_hash(F.col("conv_id")))
+            .alias("ver"),
         )
         .groupBy("role", "cts")
         .agg(F.max("ver").alias("ver"))
+        .withColumn("cts_at", F.col("cts"))
     )
     out = asof_join(
-        t, cp, keys=["role"], value_cols=["ver"],
+        t, cp, keys=["role"], value_cols=["ver", "cts_at"],
         left_ts="ts", right_ts="cts",
     )
     return out.select(
@@ -525,6 +536,10 @@ def q_c5_asof_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "role",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
         F.coalesce(F.col("ver"), F.lit(-1).cast("bigint")).alias("cp_ver"),
+        F.coalesce(
+            F.unix_micros(F.col("cts_at").cast("timestamp")),
+            F.lit(-1).cast("bigint"),
+        ).alias("cp_ts_us"),
     )
 
 
@@ -536,12 +551,16 @@ def _c5_sql() -> str:
     return f"""
 WITH t AS ({TRANSCRIPTS_SQL_DUCKDB}),
 cp0 AS (
-  SELECT role, ts AS cts, {ver} AS ver FROM t
+  SELECT role, ts AS cts,
+         CASE WHEN {sql_sample_hash('conv_id', 'ckptnull')} < 200000
+              THEN NULL ELSE {ver} END AS ver
+  FROM t
   WHERE turn_idx = 0 AND {sql_sample_hash('conv_id', 'ckpt')} < 30000
 ),
 cp AS (SELECT role, cts, max(ver) AS ver FROM cp0 GROUP BY 1, 2)
 SELECT t.conv_id, t.turn_idx, t.role, epoch_us(t.ts) AS ts_us,
-       coalesce(c.ver, -1) AS cp_ver
+       coalesce(c.ver, -1) AS cp_ver,
+       coalesce(epoch_us(c.cts), -1) AS cp_ts_us
 FROM t ASOF LEFT JOIN cp c ON t.role = c.role AND t.ts >= c.cts"""
 
 
@@ -579,7 +598,7 @@ qs AS (SELECT unnest([{", ".join(str(q) for q in _C7_QS)}]) AS q_ppm)
 SELECT role, CAST(q_ppm AS BIGINT) AS q_ppm,
        delta_us AS value, n
 FROM ranked, qs
-WHERE rn = CAST(floor((q_ppm * n + 999999) / 1000000) AS BIGINT)"""
+WHERE rn = (q_ppm * n + 999999) // 1000000"""
 
 
 def q_c6_range_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -10,16 +10,25 @@ Spark-first formulation (no per-row loops, no UDF):
 
     union both sides (right rows carry the values, left rows carry NULLs)
     → one window per key ordered by (ts, right-before-left on ties)
-    → last(value, ignorenulls=True) over unbounded-preceding..current
-    → keep left rows.
+    → last(struct(values) tagged on right rows, ignorenulls=True)
+      over unbounded-preceding..current
+    → keep left rows, unpack the struct.
+
+The fill is a single STRUCT of all value columns, built only on right
+rows: ``last(ignorenulls)`` therefore selects the latest right *row*,
+not the latest non-NULL *value* per column. That matters twice — a
+matched right row whose value column is legitimately NULL yields NULL
+(no forward-fill from an older right row), and with several value_cols
+every column comes from the SAME right row (no row tearing). This
+matches DuckDB's ASOF LEFT JOIN, the oracle used to verify it.
 
 Cost model: ONE shuffle of (|L|+|R|) rows on the join keys plus a per-key
 sort — the same price as a regular sort-merge join, with none of the
 range-explosion an inequality-join rewrite (`l.ts >= r.ts`) causes; both
 sides can be arbitrarily large. Ties: a right row at exactly the left
 row's timestamp IS matched (>=); multiple right rows at the same
-(key, ts) must be pre-deduplicated (the helper raises otherwise is NOT
-checked — document-level contract, like DuckDB's own ASOF).
+(key, ts) are a caller contract violation this helper does NOT detect
+(document-level contract, like DuckDB's own ASOF).
 """
 
 from __future__ import annotations
@@ -63,14 +72,18 @@ def asof_join(
         .orderBy(F.col(_TS).asc(), F.col(_IS_RIGHT).desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # one struct of ALL value columns, tagged non-NULL on every right row
+    # (even when the values inside are NULL): last(ignorenulls) then picks
+    # the latest right ROW, preserving its NULLs and keeping all value_cols
+    # from the same row — see the module docstring
+    row_struct = F.when(
+        F.col(_IS_RIGHT) == 1, F.struct(*[F.col(v) for v in value_cols])
+    )
     filled = u.select(
         "*",
-        *[
-            F.last(F.col(v), ignorenulls=True).over(w).alias(f"_asof_{v}")
-            for v in value_cols
-        ],
+        F.last(row_struct, ignorenulls=True).over(w).alias("_asof_row"),
     )
     out = filled.where(F.col(_IS_RIGHT) == 0)
     for v in value_cols:
-        out = out.drop(v).withColumnRenamed(f"_asof_{v}", v)
-    return out.drop(_IS_RIGHT, _TS)
+        out = out.drop(v).withColumn(v, F.col(f"_asof_row.{v}"))
+    return out.drop("_asof_row", _IS_RIGHT, _TS)

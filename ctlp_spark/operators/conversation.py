@@ -102,10 +102,12 @@ def latency_percentiles(
     qs = F.explode(
         F.array(*[F.lit(q).cast("bigint") for q in qs_ppm])
     ).alias("q_ppm")
-    # target rank = ceil(q·n / 1e6) in pure integer arithmetic
-    target = F.floor(
-        (F.col("q_ppm") * F.col("_n") + 999_999) / 1_000_000
-    ).cast("bigint")
+    # target rank = ceil(q·n / 1e6) in TRUE integer arithmetic: `div` is
+    # bigint division (Python/SQL `/` on bigints is double division in
+    # Spark, exact only while q·n < 2^53 — i.e. n <~ 9.1e9 rows per group,
+    # below the 10^12-turn design scale; floor of an inexact double can be
+    # off by one). The DuckDB twin uses `//` for the same reason.
+    target = F.expr("(q_ppm * _n + 999999) div 1000000")
     return (
         ranked.select(group_col, value_col, "_rn", "_n", qs)
         .where(F.col("_rn") == target)

@@ -35,6 +35,45 @@ def test_asof_join_semantics(spark):
     }
 
 
+def test_asof_matched_row_null_value_stays_null(spark):
+    """A matched right row whose value is NULL yields NULL — the operator
+    must NOT forward-fill from an older right row (DuckDB ASOF semantics;
+    last(value, ignorenulls) per column would get this wrong)."""
+    left = spark.createDataFrame(
+        [("a", _ts(2), 1), ("a", _ts(6), 2)],
+        "k string, ts timestamp_ntz, row_id int",
+    )
+    right = spark.createDataFrame(
+        [("a", _ts(1), 10), ("a", _ts(5), None)],
+        "k string, ts timestamp_ntz, v int",
+    )
+    out = {
+        r.row_id: r.v
+        for r in asof_join(left, right, keys=["k"], value_cols=["v"]).collect()
+    }
+    assert out == {
+        1: 10,    # only the ts(1) row is at-or-before
+        2: None,  # ts(5) row matches and its value IS NULL — no fill-back
+    }
+
+
+def test_asof_multi_value_cols_come_from_same_row(spark):
+    """With several value_cols, every column must come from the SAME
+    matched right row — per-column last(ignorenulls) would tear the row
+    (v1 from ts(5), v2 from ts(1))."""
+    left = spark.createDataFrame(
+        [("a", _ts(6), 1)], "k string, ts timestamp_ntz, row_id int"
+    )
+    right = spark.createDataFrame(
+        [("a", _ts(1), 10, 100), ("a", _ts(5), None, 500)],
+        "k string, ts timestamp_ntz, v1 int, v2 int",
+    )
+    row = asof_join(
+        left, right, keys=["k"], value_cols=["v1", "v2"]
+    ).collect()[0]
+    assert (row.v1, row.v2) == (None, 500)
+
+
 def test_asof_join_plan_is_one_exchange_no_join(spark):
     """The operator's scale contract: union + per-key window = exactly one
     shuffle on the keys and NO join operator (the inequality-join spelling
