@@ -17,14 +17,28 @@ Cross-engine determinism: cosine is computed as an explicit LEFT FOLD over
 the vector in double precision (Spark ``aggregate``/``zip_with``, DuckDB
 ``list_reduce``/``list_transform``) — identical operation order → identical
 IEEE doubles → identical ranks and floor(1e6·cos) values in both engines.
+
+Two kernels per float fold, selected by ``kernel=``:
+
+* ``"arrow"`` (default, the 100 TB hot path) — a pandas/Arrow UDF that
+  folds across DIMENSIONS in index order while vectorizing across ROWS.
+  Same op sequence per row as the expression fold → bit-identical doubles;
+  removes the interpreted-HOF per-element tax (~13 µs/elem on this host —
+  N_PLANES·DIM = 4,096 interpreted multiplies per row for the bucket id).
+* ``"expr"`` — the original Catalyst expression fold, kept as the readable
+  reference twin of the DuckDB SQL. tests/test_ann_kernels.py fuzzes the
+  two kernels bit-equal on random corpora.
 """
 
 from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 DIM = 64
 # 64 hyperplanes / 16-bit bands: band keys take 65536 distinct values, so
@@ -36,7 +50,13 @@ BAND_BITS = 16
 
 
 def _dot(a, b):
-    """Deterministic double dot product: left fold over zip_with products."""
+    """Deterministic double dot product: left fold over zip_with products.
+
+    This is the EXPRESSION kernel — Catalyst evaluates HOF lambdas on the
+    interpreted path (~13 µs/element on this class of host), so it is kept
+    only as the readable reference twin; the hot path is ``_dot_arrow``
+    (same left fold, vectorized across rows — bit-identical, fuzz-pinned
+    in tests/test_ann_kernels.py)."""
     prods = F.zip_with(
         a.cast("array<double>"), b.cast("array<double>"), lambda x, y: x * y
     )
@@ -46,6 +66,55 @@ def _dot(a, b):
 def _norm(a):
     sq = F.transform(a.cast("array<double>"), lambda x: x * x)
     return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x))
+
+
+# ---------------------------------------------------------------------------
+# Arrow kernels — the scale path for the per-row float folds
+# ---------------------------------------------------------------------------
+# Bit-exactness contract: every kernel folds across DIMENSIONS in index
+# order (acc = acc + v[:, j] * s[j]) while vectorizing across ROWS. Each
+# numpy element-wise multiply/add is one correctly-rounded IEEE-754 double
+# op, so per row this is the IDENTICAL sequence of operations the
+# expression kernel / DuckDB list_reduce twin performs — identical doubles,
+# identical signs, identical floor(1e6·cos). float32→float64 widening is
+# exact; np.sqrt is correctly rounded like java.lang.Math.sqrt and DuckDB
+# sqrt. NEVER replace the j-loop with a matmul: BLAS uses pairwise/SIMD
+# summation, which changes the fold order and flips last-ulp signs.
+
+
+def _rows(s: pd.Series) -> np.ndarray:
+    """(n, dim) float64 matrix from an Arrow list column batch."""
+    return np.stack(s.to_numpy()).astype(np.float64)
+
+
+@F.pandas_udf(T.DoubleType())
+def _dot_arrow(a: pd.Series, b: pd.Series) -> pd.Series:
+    if len(a) == 0:
+        return pd.Series(np.zeros(0))
+    A, B = _rows(a), _rows(b)
+    acc = np.zeros(len(A))
+    for j in range(A.shape[1]):
+        acc = acc + A[:, j] * B[:, j]
+    return pd.Series(acc)
+
+
+@F.pandas_udf(T.DoubleType())
+def _norm_arrow(a: pd.Series) -> pd.Series:
+    if len(a) == 0:
+        return pd.Series(np.zeros(0))
+    A = _rows(a)
+    acc = np.zeros(len(A))
+    for j in range(A.shape[1]):
+        acc = acc + A[:, j] * A[:, j]
+    return pd.Series(np.sqrt(acc))
+
+
+def _dot_k(a, b, kernel: str = "arrow"):
+    return _dot_arrow(a, b) if kernel == "arrow" else _dot(a, b)
+
+
+def _norm_k(a, kernel: str = "arrow"):
+    return _norm_arrow(a) if kernel == "arrow" else _norm(a)
 
 
 def cosine(a, b):
@@ -70,9 +139,18 @@ def sql_cosine(a: str, b: str, dim: int = DIM) -> str:
 
 
 def brute_force_topk(
-    emb: DataFrame, k: int = 5, n_queries: int = 10, same_label_only: bool = False
+    emb: DataFrame, k: int = 5, n_queries: int = 10,
+    same_label_only: bool = False, kernel: str = "expr",
 ) -> DataFrame:
     """Top-k cosine neighbors for the query set (vec_id < n_queries).
+
+    kernel default is "expr" BY MEASUREMENT (BASELINE.md "ann kernel A/B"):
+    the scored relation here is pair-shaped (corpus × tiny query set), so
+    the Arrow kernel ships both 64-float vectors per PAIR to Python and
+    loses to the in-JVM fold (sf0.1 warm: expr 1.09 s vs arrow 1.50 s for
+    s1; 0.72 vs 0.81 for s2) — the interpreted-fold tax only dominates
+    when per-row work is large (the 4,096-multiply bucket id) or the
+    relation is scanned once per vector (norms, cell-local all-pairs).
 
     The query side is broadcast (tiny); the corpus side streams — one scan,
     no shuffle except the final per-query top-k (Window over q, k rows out
@@ -89,10 +167,12 @@ def brute_force_topk(
     # same norm expression, same division shape as the DuckDB twin)
     q = emb.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q"), F.col("embedding").alias("qv"),
-        F.col("label").alias("qlabel"), _norm(F.col("embedding")).alias("qn"),
+        F.col("label").alias("qlabel"),
+        _norm_k(F.col("embedding"), kernel).alias("qn"),
     )
     corpus = emb.select(
-        "vec_id", "embedding", "label", _norm(F.col("embedding")).alias("vn")
+        "vec_id", "embedding", "label",
+        _norm_k(F.col("embedding"), kernel).alias("vn"),
     )
     cond = F.col("vec_id") != F.col("q")
     if same_label_only:
@@ -105,7 +185,7 @@ def brute_force_topk(
         "q",
         F.col("vec_id").alias("neighbor"),
         F.floor(
-            _dot(F.col("qv"), F.col("embedding"))
+            _dot_k(F.col("qv"), F.col("embedding"), kernel)
             / (F.col("qn") * F.col("vn"))
             * 1_000_000
         )
@@ -177,12 +257,37 @@ _PLANES_SQL = "array(" + ",".join(f"{x}D" for x in _PLANES_FLAT) + ")"
 from ctlp_spark.functions.bitpack import BITS_SQL as _BITS_SQL  # noqa: E402
 
 
+_PLANES_NP = np.array(PLANES, dtype=np.float64)  # (N_PLANES, DIM)
+
+
+@F.pandas_udf(T.LongType())
+def _lsh_bucket_arrow(emb: pd.Series) -> pd.Series:
+    """Arrow kernel for the bucket id — the hot path. Per plane, the dot
+    is the same dimension-ordered left fold as the expression kernel /
+    DuckDB twin (see the bit-exactness contract above), vectorized across
+    rows. Bits accumulate in uint64 and are reinterpreted (two's
+    complement) to int64 so bit 63 matches the engines' signed bigint."""
+    if len(emb) == 0:
+        return pd.Series(np.zeros(0, dtype=np.int64))
+    V = _rows(emb)
+    acc = np.zeros(len(V), dtype=np.uint64)
+    for i in range(N_PLANES):
+        s = _PLANES_NP[i]
+        dot = np.zeros(len(V))
+        for j in range(V.shape[1]):
+            dot = dot + V[:, j] * s[j]
+        acc |= np.where(dot > 0, np.uint64(1) << np.uint64(i), np.uint64(0))
+    return pd.Series(acc.view(np.int64))
+
+
 def lsh_bucket(emb_col):
     """N_PLANES-bit bucket id: bit i = sign(dot(v, plane_i)), as ONE fused
     fold over plane indices. Each iteration computes plane i's dot product
     (an explicit left fold over v·slice(planes) — same operation order as
     the DuckDB twin → identical IEEE doubles → identical signs) exactly
-    once and adds the bit value.
+    once and adds the bit value. This is the EXPRESSION kernel (readable
+    reference twin, interpreted-path cost N_PLANES·DIM multiplies per row);
+    production entry points default to ``_lsh_bucket_arrow``.
 
     Why this shape: 64 separate per-plane zip_with trees summed through 64
     nested Add(When(...)) cost ~3 s of Catalyst ANALYSIS per query (a
@@ -226,16 +331,23 @@ def sql_lsh_bucket(v: str, dim: int = DIM) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-def lsh_buckets(emb: DataFrame) -> DataFrame:
+def lsh_buckets(emb: DataFrame, kernel: str = "arrow") -> DataFrame:
     """Per-vector LSH bucket assignment (the blocking key)."""
-    return emb.select("vec_id", lsh_bucket(F.col("embedding")).alias("bucket"))
+    bucket = (
+        _lsh_bucket_arrow(F.col("embedding"))
+        if kernel == "arrow"
+        else lsh_bucket(F.col("embedding"))
+    )
+    return emb.select("vec_id", bucket.alias("bucket"))
 
 
 def sql_lsh_buckets(t: str = "embeddings", dim: int = DIM) -> str:
     return f"SELECT vec_id, {sql_lsh_bucket('embedding', dim)} AS bucket FROM {t}"
 
 
-def lsh_band_candidates(emb: DataFrame, band_bits: int = BAND_BITS) -> DataFrame:
+def lsh_band_candidates(
+    emb: DataFrame, band_bits: int = BAND_BITS, kernel: str = "arrow"
+) -> DataFrame:
     """Near-neighbor candidate pairs: vectors sharing any band (band_bits
     consecutive bucket bits). The shipped default is the scale-safe one —
     64 planes / 16-bit bands — so band keys stay selective (the band join
@@ -244,7 +356,7 @@ def lsh_band_candidates(emb: DataFrame, band_bits: int = BAND_BITS) -> DataFrame
     sign-extension bits, so the top band of the signed bucket is exact."""
     n_bands = N_PLANES // band_bits
     mask = (1 << band_bits) - 1
-    b = lsh_buckets(emb)
+    b = lsh_buckets(emb, kernel=kernel)
     bands = b.select(
         "vec_id",
         F.explode(
@@ -288,7 +400,8 @@ WHERE x.vec_id < y.vec_id"""
 
 
 def multiprobe_candidates(
-    emb: DataFrame, n_queries: int = 10, band_bits: int = BAND_BITS
+    emb: DataFrame, n_queries: int = 10, band_bits: int = BAND_BITS,
+    kernel: str = "arrow",
 ) -> DataFrame:
     """Multi-probe sign-LSH: each QUERY band probes its own key plus every
     1-bit-flipped neighbor key (17 probes per 16-bit band) — the standard
@@ -299,7 +412,7 @@ def multiprobe_candidates(
     tiny query side (n_queries · bands · (band_bits+1) rows)."""
     n_bands = N_PLANES // band_bits
     mask = (1 << band_bits) - 1
-    b = lsh_buckets(emb)
+    b = lsh_buckets(emb, kernel=kernel)
     bands = b.select(
         "vec_id",
         F.explode(
@@ -366,20 +479,37 @@ WHERE x.vec_id <> p.q"""
 
 
 def embedding_neardup_pairs(
-    emb: DataFrame, threshold_ppm: int = 350_000
+    emb: DataFrame, threshold_ppm: int = 350_000, kernel: str = "cell"
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked by label (the
-    precomputed cluster/IVF cell): the self-join shuffles on label only and
-    compares within cells — at 10^12 scale the blocking IS the algorithm;
-    raise the cell count, never the pair count."""
+    precomputed cluster/IVF cell): at 10^12 scale the blocking IS the
+    algorithm; raise the cell count, never the pair count.
+
+    Kernels (all three fuzz-pinned equal; defaults chosen by measurement —
+    BASELINE.md "ann kernel A/B"):
+
+    * ``"cell"`` (default) — ONE shuffle on label into ``applyInPandas``;
+      each cell's vectors cross Python exactly once (transfer O(n·d), not
+      O(pairs·d)), pair dots are computed inside the cell with the
+      dimension-ordered left fold vectorized across PAIRS, and only pairs
+      ≥ threshold leave Python. This is the 100 TB shape: data motion is
+      the corpus, never the candidate pairs.
+    * ``"arrow"`` — label self-join + per-pair Arrow dot. Ships both
+      vectors per PAIR to Python; measured ~2× slower than "expr" at
+      sf0.1 (pair transfer dominates the 64-dim fold) — kept for the A/B.
+    * ``"expr"`` — label self-join + interpreted Catalyst fold; readable
+      twin of the DuckDB oracle SQL.
+    """
+    if kernel == "cell":
+        return _neardup_pairs_cell(emb, threshold_ppm)
     # per-vector norms computed below the join (see brute_force_topk note)
     a = emb.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
-        "label", _norm(F.col("embedding")).alias("na"),
+        "label", _norm_k(F.col("embedding"), kernel).alias("na"),
     )
     b = emb.select(
         F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
-        "label", _norm(F.col("embedding")).alias("nb"),
+        "label", _norm_k(F.col("embedding"), kernel).alias("nb"),
     )
     return (
         a.join(b, "label")
@@ -389,7 +519,7 @@ def embedding_neardup_pairs(
             "vec_b",
             "label",
             F.floor(
-                _dot(F.col("ea"), F.col("eb"))
+                _dot_k(F.col("ea"), F.col("eb"), kernel)
                 / (F.col("na") * F.col("nb"))
                 * 1_000_000
             )
@@ -398,6 +528,68 @@ def embedding_neardup_pairs(
         )
         .where(F.col("cos_ppm") >= threshold_ppm)
     )
+
+
+_CELL_SCHEMA = T.StructType([
+    T.StructField("vec_a", T.LongType()),
+    T.StructField("vec_b", T.LongType()),
+    T.StructField("label", T.IntegerType()),
+    T.StructField("cos_ppm", T.LongType()),
+])
+
+# pair-chunk bound for the cell kernel: caps peak memory of the vectorized
+# pair fold at ~chunk × DIM × 8 B regardless of cell size
+_CELL_PAIR_CHUNK = 1 << 21
+
+
+def _neardup_pairs_cell(emb: DataFrame, threshold_ppm: int) -> DataFrame:
+    """Cell-local all-pairs cosine (see embedding_neardup_pairs "cell").
+
+    Bit-exactness: norms fold dims in index order per vector; pair dots
+    fold dims in index order vectorized across pairs — the same IEEE op
+    sequence per pair as the expression/DuckDB twins, so floor(1e6·cos)
+    matches exactly (fuzz-pinned in tests/test_ann_kernels.py)."""
+
+    def cell(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        empty = pd.DataFrame(
+            {"vec_a": pd.Series(dtype="int64"),
+             "vec_b": pd.Series(dtype="int64"),
+             "label": pd.Series(dtype="int32"),
+             "cos_ppm": pd.Series(dtype="int64")}
+        )
+        if m < 2:
+            return empty
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        V = np.stack(pdf["embedding"].to_numpy()[order]).astype(np.float64)
+        nsq = np.zeros(m)
+        for j in range(V.shape[1]):
+            nsq = nsq + V[:, j] * V[:, j]
+        norms = np.sqrt(nsq)
+        # vec_a < vec_b by construction: ids sorted ascending, ia < ib
+        ia, ib = np.triu_indices(m, k=1)
+        outs = []
+        for s in range(0, len(ia), _CELL_PAIR_CHUNK):
+            ca, cb = ia[s : s + _CELL_PAIR_CHUNK], ib[s : s + _CELL_PAIR_CHUNK]
+            acc = np.zeros(len(ca))
+            for j in range(V.shape[1]):
+                acc = acc + V[ca, j] * V[cb, j]
+            ppm = np.floor(acc / (norms[ca] * norms[cb]) * 1_000_000).astype(
+                np.int64
+            )
+            keep = ppm >= threshold_ppm
+            if keep.any():
+                outs.append(pd.DataFrame({
+                    "vec_a": ids[ca[keep]].astype(np.int64),
+                    "vec_b": ids[cb[keep]].astype(np.int64),
+                    "label": np.full(int(keep.sum()), key[0], dtype=np.int32),
+                    "cos_ppm": ppm[keep],
+                }))
+        return pd.concat(outs) if outs else empty
+
+    return emb.groupBy("label").applyInPandas(cell, schema=_CELL_SCHEMA)
 
 
 def sql_embedding_neardup_pairs(

@@ -1,0 +1,102 @@
+"""Arrow-kernel vs expression-kernel bit-exactness for the ANN family.
+
+The Arrow kernels (ann._dot_arrow/_norm_arrow/_lsh_bucket_arrow) vectorize
+across ROWS while folding across DIMENSIONS in index order — per row the
+identical sequence of IEEE-754 double ops as the interpreted Catalyst
+expression folds (which in turn mirror the DuckDB ``list_reduce`` oracle
+twins the driver checks at sf0.01). These tests pin EXACT equality — doubles
+compared with ``==`` (bit-for-bit for finite values), bucket ids by int
+equality — on a random corpus spanning magnitudes, so the hot path can never
+silently drift from the oracle-checked reference path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ctlp_spark.functions import ann as A
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(20260816)
+    n = 256
+    # mixed magnitudes stress cancellation / near-zero plane dots, where a
+    # fold-order difference would flip a sign or a floor(1e6·cos)
+    scale = rng.choice([1e-3, 1.0, 1e3], size=(n, 1))
+    vecs = (rng.standard_normal((n, A.DIM)) * scale).astype(np.float32)
+    rows = [(i, vecs[i].tolist(), int(i % 5)) for i in range(n)]
+    return spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).cache()
+
+
+def test_norm_kernels_bit_equal(emb):
+    rows = emb.select(
+        A._norm(F.col("embedding")).alias("e"),
+        A._norm_arrow(F.col("embedding")).alias("a"),
+    ).collect()
+    assert all(r.e == r.a for r in rows)
+
+
+def test_dot_kernels_bit_equal(emb):
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, a.ia % 16 == b.ib % 16)  # ~16x fewer than full cross
+    rows = pairs.select(
+        A._dot(F.col("ea"), F.col("eb")).alias("e"),
+        A._dot_arrow(F.col("ea"), F.col("eb")).alias("a"),
+    ).collect()
+    assert len(rows) > 0
+    assert all(r.e == r.a for r in rows)
+
+
+def test_bucket_kernels_equal(emb):
+    rows = emb.select(
+        A.lsh_bucket(F.col("embedding")).alias("e"),
+        A._lsh_bucket_arrow(F.col("embedding")).alias("a"),
+    ).collect()
+    assert all(r.e == r.a for r in rows)
+
+
+def test_band_candidates_equal_across_kernels(emb):
+    expr = set(
+        (r.vec_a, r.vec_b)
+        for r in A.lsh_band_candidates(emb, kernel="expr").collect()
+    )
+    arrow = set(
+        (r.vec_a, r.vec_b)
+        for r in A.lsh_band_candidates(emb, kernel="arrow").collect()
+    )
+    assert expr == arrow
+
+
+def test_neardup_kernels_equal(emb):
+    """expr (join + interpreted fold), arrow (join + per-pair Arrow dot)
+    and cell (applyInPandas cell-local all-pairs) must produce identical
+    pair sets with identical cos_ppm — same fold order everywhere."""
+    outs = {}
+    for kernel in ("expr", "arrow", "cell"):
+        outs[kernel] = sorted(
+            (r.vec_a, r.vec_b, r.label, r.cos_ppm)
+            for r in A.embedding_neardup_pairs(
+                emb, threshold_ppm=100_000, kernel=kernel
+            ).collect()
+        )
+    assert len(outs["expr"]) > 0
+    assert outs["expr"] == outs["arrow"] == outs["cell"]
+
+
+def test_topk_equal_across_kernels(emb):
+    cols = ("q", "rank", "neighbor", "cos_ppm")
+    expr = sorted(
+        tuple(r[c] for c in cols)
+        for r in A.brute_force_topk(emb, k=3, n_queries=6, kernel="expr").collect()
+    )
+    arrow = sorted(
+        tuple(r[c] for c in cols)
+        for r in A.brute_force_topk(emb, k=3, n_queries=6, kernel="arrow").collect()
+    )
+    assert expr == arrow
