@@ -610,22 +610,33 @@ def jaccard_on_candidates(
     threshold_ppm: int = 300_000,
     id_col: str = "doc_id",
     text_col: str = "text",
+    checkpoint: str | None = "local",
 ) -> DataFrame:
     """Exact Jaccard verification restricted to candidate pairs — the
     LSH→verify composition that replaces the quadratic shingle self-join at
     scale. Shingle SETS are joined to the (doc_a, doc_b) pair list (two
     hash joins keyed on doc id) and intersected per pair with
-    array_intersect — no explode, no pair blow-up beyond the candidates."""
-    # Only docs that appear in a candidate pair need shingle sets — a
-    # semi-join restriction BEFORE shingling (candidates are a vanishing
-    # fraction of the corpus at scale, so the collect_set shuffle is over
-    # candidate docs' shingles, never the full corpus). Sets built from
-    # codegen-able shingle rows + collect_set; set ops downstream
-    # (array_intersect/size) are order-insensitive.
-    # the candidate list is read 3× below (semi-join ids + both pair-side
-    # joins); materialize it once so the upstream blocking derivation
-    # (LSH bands) never re-executes
-    candidates = candidates.localCheckpoint()
+    array_intersect — no explode, no pair blow-up beyond the candidates.
+
+    ``checkpoint`` controls how the candidate list (read 3× below) is
+    materialized so the upstream blocking derivation never re-executes:
+
+    * ``"local"`` (default) — ``localCheckpoint()``. NOTE the tradeoffs:
+      it is EAGER (building this DataFrame triggers the blocking jobs at
+      plan-construction time) and NOT fault-tolerant (blocks live on
+      executors; losing one makes them unrecoverable — same caveat as
+      connected_components). Right for single-JVM / driver-gate runs.
+    * ``"reliable"`` — ``checkpoint()`` to ``spark.sparkContext``'s
+      checkpoint dir (caller must have called ``setCheckpointDir``);
+      survives executor loss — use this on a real cluster.
+    * ``None`` — no materialization: fully lazy, but the blocking plan
+      (LSH banding) is recomputed up to 3×."""
+    if checkpoint == "local":
+        candidates = candidates.localCheckpoint()
+    elif checkpoint == "reliable":
+        candidates = candidates.checkpoint()
+    elif checkpoint is not None:
+        raise ValueError(f"unknown checkpoint strategy: {checkpoint!r}")
     cand_ids = (
         candidates.select(F.col("doc_a").alias(id_col))
         .unionByName(candidates.select(F.col("doc_b").alias(id_col)))
@@ -671,6 +682,7 @@ def neardup_pipeline(
     threshold_ppm: int = 300_000,
     id_col: str = "doc_id",
     text_col: str = "text",
+    checkpoint: str | None = "local",
 ) -> DataFrame:
     """The near-dup SCALE PATH, end to end: MinHash-LSH blocking
     (linear-time, md5-uniform band keys) → exact Jaccard verification on
@@ -685,6 +697,7 @@ def neardup_pipeline(
         threshold_ppm=threshold_ppm,
         id_col=id_col,
         text_col=text_col,
+        checkpoint=checkpoint,
     )
 
 

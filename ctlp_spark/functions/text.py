@@ -11,8 +11,10 @@ required by the project brief.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # Shared constants — any change must be mirrored in the SQL twins below.
 STOPWORDS = ("the", "a", "and", "of", "to", "in")
@@ -309,16 +311,60 @@ def tok_hash(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
 
 
-def rolling_fingerprint(col: Column) -> Column:
+def rolling_fingerprint(col: Column, kernel: str = "arrow") -> Column:
     """Order-sensitive polynomial rolling hash over tokens:
     acc = (acc*31 + tok_hash(tok) % M) % M, M = 2^31-1. Distinguishes
-    reordered documents that share a bag of words."""
+    reordered documents that share a bag of words.
+
+    kernel="arrow" (default) computes the identical fold in a pandas UDF
+    over the NORMALIZED text — exact integer arithmetic (Python ints ==
+    bigint mod-arithmetic, md5 is md5), with a per-worker token-hash memo
+    since real corpora reuse a small vocabulary. kernel="expr" is the
+    Catalyst HOF fold kept as the readable twin of the DuckDB oracle SQL
+    (one interpreted fold per doc with an md5+conv per token — the same
+    interpreted-path tax as the ANN folds; tests/test_text.py pins the two
+    kernels equal)."""
+    if kernel == "arrow":
+        return _rolling_fp_arrow(norm_text(col))
     toks = F.split(norm_text(col), " ")
     return F.aggregate(
         toks,
         F.lit(0).cast("bigint"),
         lambda acc, x: (acc * FP_MULT + tok_hash(x) % FP_MOD) % FP_MOD,
     )
+
+
+# token-hash memo shared across batches within a Python worker; bounded so
+# an adversarial vocabulary can't grow it without limit
+_FP_MEMO_CAP = 1 << 20
+
+
+@F.pandas_udf(T.LongType())
+def _rolling_fp_arrow(norm: pd.Series) -> pd.Series:
+    import hashlib
+
+    memo = _rolling_fp_arrow.__dict__.setdefault("_memo", {})
+
+    def tok_h(tok: str) -> int:
+        h = memo.get(tok)
+        if h is None:
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % FP_MOD
+            if len(memo) < _FP_MEMO_CAP:
+                memo[tok] = h
+        return h
+
+    out = []
+    for s in norm:
+        if s is None:
+            out.append(None)  # NULL text -> NULL fp (matches the expr/SQL twins)
+            continue
+        acc = 0
+        # norm_text('') == '' splits to [''] in Spark; ''.split(' ') in
+        # Python is also [''] — the fold shapes agree on empty docs
+        for tok in s.split(" "):
+            acc = (acc * FP_MULT + tok_h(tok)) % FP_MOD
+        out.append(acc)
+    return pd.Series(out, dtype="Int64")
 
 
 # ---------------------------------------------------------------------------

@@ -53,6 +53,22 @@ from ctlp_spark.rules import RuleConfig
 MATCHED_RULE_COL = "matched_rule"
 
 
+def _arrow_re2_compilable(pattern: str) -> bool:
+    """True if Arrow's RE2 kernel accepts ``pattern``. Probed on a
+    one-element [""] array — Arrow SKIPS regex compilation entirely on
+    zero-length input, so an empty-array probe would accept everything.
+    Called once per pattern at UDF-build time on the driver (see
+    matched_rule_pandas)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    try:
+        pc.match_substring_regex(pa.array([""], type=pa.string()), pattern)
+        return True
+    except (pa.lib.ArrowInvalid, pa.lib.ArrowNotImplementedError):
+        return False
+
+
 def _struct_leaf_type(schema: T.StructType, path: list[str]) -> T.DataType | None:
     """Walk a struct schema down ``path``; None if any segment is missing or
     a non-struct intermediate (arrays/maps are not addressable — mirrors
@@ -194,19 +210,39 @@ def matched_rule_pandas(
         for f in fields
     ]
     idx = {f: i for i, f in enumerate(fields)}
-    compiled: list[tuple[str, list[tuple[int, re.Pattern]] | None, list[tuple[int, re.Pattern]]]] = []
+
+    def _pat(field: str, regex: str) -> tuple[int, re.Pattern, bool]:
+        """(input index, compiled pattern, use_arrow). RE2-compilability is
+        probed ONCE here at UDF-build time — never per batch: a silent
+        mid-batch engine switch (Arrow RE2 → Python re) would evaluate the
+        same pattern under two regex dialects depending on which batch it
+        landed in, a hole in the two-compiler-equivalence invariant."""
+        ok = _arrow_re2_compilable(regex)
+        if not ok:
+            import warnings
+
+            warnings.warn(
+                f"rule pattern {regex!r} passed validate_pattern but is not"
+                " Arrow-RE2-compilable; the pandas compiler will evaluate it"
+                " under Python `re` semantics, which can diverge from the"
+                " native compiler's Java regex on Unicode classes",
+                stacklevel=3,
+            )
+        return (idx[field], re.compile(regex), ok)
+
+    compiled: list[tuple[str, list[tuple[int, re.Pattern, bool]] | None, list[tuple[int, re.Pattern, bool]]]] = []
     for rule in cfg.rules:
         if any(resolved[m.field_name] is None for m in rule.matches):
             compiled.append((rule.name, None, []))  # impossible on this schema
             continue
         excludes = [
-            (idx[m.field_name], re.compile(m.regex))
+            _pat(m.field_name, m.regex)
             for m in rule.exclude_matches
             if resolved[m.field_name] is not None
         ]
         compiled.append(
             (rule.name,
-             [(idx[m.field_name], re.compile(m.regex)) for m in rule.matches],
+             [_pat(m.field_name, m.regex) for m in rule.matches],
              excludes)
         )
 
@@ -224,21 +260,22 @@ def matched_rule_pandas(
             "ignore", message="This pattern is interpreted as a regular expression"
         )
 
-        def contains(sub: pd.Series, pat: re.Pattern) -> "np.ndarray":
+        def contains(sub: pd.Series, pat: re.Pattern, use_arrow: bool) -> "np.ndarray":
             # Arrow's RE2 kernel is ~10× pandas str.contains; rules are
             # validated into the RE2-safe subset at load time
             # (rules.validate_pattern), and RE2 is the reference's own
             # engine — the Go regexp package. NULL → no-match, like na=False.
-            try:
+            # The engine per pattern was decided ONCE at build time
+            # (use_arrow); an Arrow error here is a real bug and propagates
+            # loudly instead of silently switching regex dialects mid-batch.
+            if use_arrow:
                 # type=string(): an all-null slice infers the null type,
                 # which the regex kernel has no kernel for
                 hit = pc.match_substring_regex(
                     pa.Array.from_pandas(sub, type=pa.string()), pat.pattern
                 ).to_numpy(zero_copy_only=False)
                 return np.where(pd.isna(hit), False, hit).astype(bool)
-            except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
-                # pattern outside RE2 / exotic input (defensive)
-                return sub.str.contains(pat, na=False).to_numpy(dtype=bool)
+            return sub.str.contains(pat, na=False).to_numpy(dtype=bool)
 
         n = len(series[0]) if series else 0
         result = pd.Series([None] * n, dtype=object)
@@ -247,16 +284,16 @@ def matched_rule_pandas(
             if matches is None or not unmatched.any():
                 continue
             mask = unmatched.copy()
-            for col_i, pat in matches:
+            for col_i, pat, use_arrow in matches:
                 if not mask.any():
                     break
                 # evaluate only still-candidate rows (per-rule masking — the
                 # vectorized analogue of the early-exit loop)
-                mask[mask] = contains(series[col_i][mask], pat)
-            for col_i, pat in excludes:
+                mask[mask] = contains(series[col_i][mask], pat, use_arrow)
+            for col_i, pat, use_arrow in excludes:
                 if not mask.any():
                     break
-                mask[mask] = ~contains(series[col_i][mask], pat)
+                mask[mask] = ~contains(series[col_i][mask], pat, use_arrow)
             if mask.any():
                 result[mask] = name
                 unmatched &= ~mask

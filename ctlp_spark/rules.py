@@ -136,11 +136,30 @@ def validate_pattern(pattern: str, *, where: str = "") -> None:
         raise RuleValidationError(f"{where}: invalid regex: {exc}") from exc
 
 
-def validate_config(cfg: RuleConfig) -> None:
+# The transcript table's columns (BASELINE.json input_hint) plus the
+# default JSON dot-path prefix — the graft analogue of the reference's
+# whitelist of known CloudTrail field paths (pkg/rules/versioned.go:16-60).
+KNOWN_FIELD_HEADS: tuple[str, ...] = (
+    "conv_id", "turn_idx", "role", "text", "tool", "ts", "text_json",
+)
+
+
+def validate_config(
+    cfg: RuleConfig,
+    known_field_heads: tuple[str, ...] | None = KNOWN_FIELD_HEADS,
+) -> None:
     """Full config validation — reference pkg/rules/versioned.go:119-167.
 
     Checks: semver version, non-empty rule set, unique rule names, non-empty
     match lists, field-path syntax, pattern validity/dialect/ReDoS.
+
+    Field paths whose head segment is outside ``known_field_heads`` get a
+    WARNING, never an error — the reference behaves the same way for paths
+    outside its known-CloudTrail-field list (versioned.go:264-273): a
+    typo'd path silently keeps every record (missing-field semantics), so
+    it deserves a loud hint, but a custom/json-mapped column must keep
+    working. Pass ``known_field_heads=None`` to skip (or a custom tuple to
+    match your table + registered json_columns).
     """
     if cfg.version and not _SEMVER_RE.match(cfg.version):
         raise RuleValidationError(f"invalid semver version: {cfg.version!r}")
@@ -161,6 +180,18 @@ def validate_config(cfg: RuleConfig) -> None:
             if not _FIELD_PATH_RE.match(m.field_name):
                 raise RuleValidationError(
                     f"rule {rule.name!r}: bad field path {m.field_name!r}"
+                )
+            head = m.field_name.split(".", 1)[0]
+            if known_field_heads is not None and head not in known_field_heads:
+                import warnings
+
+                warnings.warn(
+                    f"rule {rule.name!r}: field path {m.field_name!r} is"
+                    f" outside the known transcript fields"
+                    f" {known_field_heads} — a missing field can never"
+                    " match, so this rule condition will keep every record"
+                    " (check for a typo or pass known_field_heads)",
+                    stacklevel=2,
                 )
             validate_pattern(m.regex, where=f"rule {rule.name!r}")
 

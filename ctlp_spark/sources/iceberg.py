@@ -61,17 +61,24 @@ def _require(spark: SparkSession) -> None:
         )
 
 
-def ensure_transcript_table(
-    spark: SparkSession, table: str, conv_buckets: int = 64
-) -> None:
-    """Create the transcript table if absent: days(ts) + bucket(conv_id)
-    partitioning (see module notes)."""
-    _require(spark)
-    spark.sql(
+def transcript_table_ddl(table: str, conv_buckets: int = 64) -> str:
+    """The CREATE TABLE statement for the transcript table: days(ts) +
+    bucket(conv_id) partitioning (see module notes). Split out from
+    ensure_transcript_table so the DDL surface is unit-testable without
+    the runtime jar."""
+    return (
         f"CREATE TABLE IF NOT EXISTS {table} ({TRANSCRIPT_COLUMNS}) "
         f"USING iceberg "
         f"PARTITIONED BY (days(ts), bucket({conv_buckets}, conv_id))"
     )
+
+
+def ensure_transcript_table(
+    spark: SparkSession, table: str, conv_buckets: int = 64
+) -> None:
+    """Create the transcript table if absent (``transcript_table_ddl``)."""
+    _require(spark)
+    spark.sql(transcript_table_ddl(table, conv_buckets))
 
 
 def append_transcripts(df: DataFrame, table: str) -> None:

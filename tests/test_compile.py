@@ -172,3 +172,24 @@ def test_regex_json_extractor_equivalence(spark, transcripts):
         .count()
     )
     assert diff2 == 0
+
+
+def test_pandas_non_re2_pattern_warns_at_build_and_still_matches(spark):
+    """A pattern outside Arrow's RE2 (Python-only \\Z) must be detected ONCE
+    at UDF-build time — a visible warning, then consistent Python-re
+    evaluation — never a silent per-batch engine switch."""
+    import warnings
+
+    df = spark.createDataFrame(
+        [("c", 0, "ends here"), ("c", 1, "no match x")],
+        "conv_id string, turn_idx int, text string",
+    )
+    cfg = RuleConfig(rules=(Rule("z", (Match("text", r"here\Z"),)),))
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        tagged = tag(df, cfg, "pandas")
+        assert any("Arrow-RE2" in str(w.message) for w in caught), [
+            str(w.message) for w in caught
+        ]
+    by_idx = {r["turn_idx"]: r["matched_rule"] for r in tagged.collect()}
+    assert by_idx == {0: "z", 1: None}

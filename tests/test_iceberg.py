@@ -95,3 +95,18 @@ def test_snapshot_resume_processes_only_new_commits(iceberg_spark, tmp_path):
         iceberg_spark, table, cfg, out, cursor, json_columns=JSON_COLUMNS
     )
     assert r2 is not None and r2.total == 200
+
+
+def test_transcript_table_ddl_string():
+    """Driver-free DDL surface check (no runtime jar needed): the exact
+    input_hint column set and the days(ts)+bucket(conv_id) partition spec
+    from the module's 10^12-turn design notes."""
+    from ctlp_spark.sources.iceberg import transcript_table_ddl
+
+    ddl = transcript_table_ddl("local.db.transcripts", conv_buckets=128)
+    assert ddl.startswith("CREATE TABLE IF NOT EXISTS local.db.transcripts")
+    assert "USING iceberg" in ddl
+    assert "PARTITIONED BY (days(ts), bucket(128, conv_id))" in ddl
+    for col in ("conv_id string", "turn_idx int", "role string",
+                "text string", "tool string", "ts timestamp_ntz"):
+        assert col in ddl, col

@@ -300,3 +300,31 @@ def test_config_scheme_registry_and_env_dispatch(monkeypatch, tmp_path):
             R.loader_from_env({})
     finally:
         R._SCHEME_FETCHERS.pop("s3", None)
+
+
+def test_unknown_field_path_warns_but_validates():
+    """Reference parity (pkg/rules/versioned.go:264-273): a field path
+    outside the known-field whitelist WARNS — never errors — because a
+    typo'd path silently keeps every record under missing-field
+    semantics."""
+    import warnings
+
+    from ctlp_spark.rules import Match, Rule, RuleConfig, validate_config
+
+    cfg = RuleConfig(
+        rules=(Rule("typo", (Match("rol", "^tool$"),)),), version="1.0.0"
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        validate_config(cfg)  # must NOT raise
+        assert any("outside the known transcript fields" in str(w.message)
+                   for w in caught)
+    # suppressible for custom schemas
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        validate_config(cfg, known_field_heads=None)
+        assert not caught
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        validate_config(cfg, known_field_heads=("rol",))
+        assert not caught

@@ -1,0 +1,21 @@
+"""Text-kernel equality tests (expr vs Arrow rolling fingerprint).
+Broader text-op coverage lives in the driver oracle twins
+(tests/test_entry_oracle.py t1-t5) and tests/test_cross_engine_fuzz.py."""
+
+def test_rolling_fingerprint_kernels_equal(spark):
+    """The Arrow rolling-hash kernel must equal the Catalyst HOF fold
+    (which is the oracle-checked twin of the DuckDB SQL) on awkward
+    inputs: empty, single token, repeated vocab, NULL, unicode."""
+    from pyspark.sql import functions as F
+
+    from ctlp_spark.functions.text import rolling_fingerprint
+
+    rows = [("",), ("one",), ("a b c a b c a",), (None,),
+            ("Ünïcode tokens here",), ("  padded   spaces  ",),
+            ("x " * 300,)]
+    df = spark.createDataFrame(rows, "text string")
+    got = df.select(
+        rolling_fingerprint(F.col("text"), kernel="expr").alias("e"),
+        rolling_fingerprint(F.col("text"), kernel="arrow").alias("a"),
+    ).collect()
+    assert all(r.e == r.a for r in got), got
