@@ -1,0 +1,253 @@
+"""Streaming near-duplicate DECISION — the stateful twin of the batch
+``neardup_groups`` (d8) pipeline.
+
+Shape (one streaming query, Spark-first):
+
+    document stream
+      → per-row MinHash band keys        (stateless column expressions —
+                                          BIT-IDENTICAL to the batch
+                                          minhash: min over the same affine
+                                          shingle hashes, md5 band keys)
+      → groupBy(band_idx, band_key)
+      → applyInPandasWithState           (banded-LSH candidate MAINTENANCE:
+                                          state = doc ids seen per bucket;
+                                          each arriving doc emits candidate
+                                          pairs against the bucket's past)
+      → foreachBatch                     (exact-Jaccard verify via the batch
+                                          ``jaccard_on_candidates`` against
+                                          the persistent docs store, then an
+                                          incremental group decision written
+                                          idempotently per micro-batch)
+
+Semantics contract vs the batch twin (d8 = connected components / min
+reachable id):
+
+* a NEW doc joins the group of the minimum-labeled doc it is verified
+  against (transitively within its arrival micro-batch);
+* docs already emitted are NEVER relabeled — if a late "bridge" doc
+  connects two existing groups it joins the smaller-labeled one and the
+  two old groups stay distinct. This is the standard online-dedup
+  contract; on corpora where every near-dup arrives after its canonical
+  (no bridges), the streaming decision EQUALS the batch decision —
+  pinned in tests/test_streaming_neardup.py.
+
+Exactly-once across kill/restart: candidate emission is governed by the
+state store + checkpoint (a replayed micro-batch restores pre-batch bucket
+state and re-emits the same pairs), and the assignment write is an
+idempotent overwrite of ``assignments/batch={id}`` — the same replay
+pattern as run_stream_pipeline. The group decision for one micro-batch runs
+driver-side over THAT BATCH's verified pairs only (bounded by micro-batch
+size, never corpus size); prior assignments are read back as a parquet
+partition scan, never held in driver memory across batches.
+
+Scale notes: bucket state is O(docs per band bucket) — band keys are
+md5-uniform over ROWS_PER_BAND min-hashes, so buckets stay small by the
+banding math (the same argument as the batch blocking join); verification
+cost is restricted to candidates exactly as in d7.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ctlp_spark.functions.dedup import (
+    BANDS,
+    HASH_AB,
+    P,
+    ROWS_PER_BAND,
+    jaccard_on_candidates,
+    shingle_hash,
+    shingles,
+)
+
+_ARRIVAL = -1  # doc_b sentinel: "doc_a arrived" (not a candidate pair)
+
+CAND_OUT_SCHEMA = "doc_a bigint, doc_b bigint"
+BUCKET_STATE_SCHEMA = "doc_ids array<bigint>"
+
+
+def doc_band_rows(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, band_idx, band_key) per document — PURE per-row column
+    expressions (array_min over transformed shingles), no aggregation, so
+    it is legal upstream of a stateful streaming operator. Values are
+    bit-identical to the batch minhash_signatures/lsh_candidate_pairs keys:
+    min over (shingle_hash·a+b) mod P is multiset/distinct-invariant, and
+    the band key is the same md5(concat_ws('_', mh…)) string."""
+    sh = shingles(F.col(text_col), n)
+    hashed = F.transform(sh, lambda s: shingle_hash(s))
+    mh = [
+        F.array_min(F.transform(hashed, lambda h: (h * a + b) % P))
+        for (a, b) in HASH_AB
+    ]
+    bands = F.array(*[
+        F.struct(
+            F.lit(bi).alias("band_idx"),
+            F.md5(
+                F.concat_ws(
+                    "_", *[mh[bi * ROWS_PER_BAND + r] for r in range(ROWS_PER_BAND)]
+                )
+            ).alias("band_key"),
+        )
+        for bi in range(BANDS)
+    ])
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(bands).alias("b")
+    ).select("doc_id", "b.band_idx", "b.band_key")
+
+
+def lsh_candidates_stateful(band_rows: DataFrame) -> DataFrame:
+    """Banded-LSH candidate maintenance as grouped state: one state entry
+    per (band_idx, band_key) bucket holding the doc ids seen so far. Each
+    arriving doc emits (existing_doc, new_doc) candidate rows plus one
+    arrival row (doc_b = -1). A pair is emitted by every shared band in the
+    SAME micro-batch (a doc arrives once), so a downstream per-batch
+    ``distinct`` fully dedupes."""
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.streaming.state import (  # noqa: PLC0415
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        existing: list[int] = list(state.get[0]) if state.exists else []
+        new_ids: list[int] = []
+        for pdf in pdf_iter:
+            new_ids.extend(int(x) for x in pdf["doc_id"])
+        new_ids = sorted(set(new_ids) - set(existing))
+        a_out: list[int] = []
+        b_out: list[int] = []
+        for pos, nid in enumerate(new_ids):
+            a_out.append(nid)
+            b_out.append(_ARRIVAL)
+            for old in existing + new_ids[:pos]:
+                lo, hi = (old, nid) if old < nid else (nid, old)
+                a_out.append(lo)
+                b_out.append(hi)
+        state.update((existing + new_ids,))
+        yield pd.DataFrame({"doc_a": a_out, "doc_b": b_out})
+
+    return band_rows.groupBy("band_idx", "band_key").applyInPandasWithState(
+        update,
+        outputStructType=CAND_OUT_SCHEMA,
+        stateStructType=BUCKET_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _assign_components(
+    new_ids: list[int],
+    edges: list[tuple[int, int]],
+    prior: dict[int, int],
+) -> dict[int, int]:
+    """Group decision for one micro-batch: union-find over this batch's
+    verified edges; each component's label = min(prior group labels of the
+    old docs in it) or min(new doc ids) if it touches no assigned doc.
+    Already-assigned docs are never relabeled (module contract)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(x: int, y: int) -> None:
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+
+    for a, b in edges:
+        union(a, b)
+    comp_label: dict[int, int] = {}
+    members: dict[int, list[int]] = {}
+    for node in set(parent) | set(new_ids):
+        members.setdefault(find(node), []).append(node)
+    for root, nodes in members.items():
+        fixed = [prior[n] for n in nodes if n in prior]
+        comp_label[root] = min(fixed) if fixed else min(
+            n for n in nodes if n not in prior
+        )
+    return {
+        nid: comp_label[find(nid)] for nid in new_ids if nid not in prior
+    }
+
+
+def run_streaming_neardup(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    n: int = 3,
+    threshold_ppm: int = 300_000,
+    schema: str = "doc_id bigint, text string",
+    max_files_per_trigger: int | None = None,
+):
+    """Start the streaming near-dup decision; returns the StreamingQuery
+    (Trigger.AvailableNow — one bounded drain per call, resumable from the
+    checkpoint). Assignments land under ``{out_dir}/assignments/batch={id}``
+    as (doc_id, group_id) rows; read them back with
+    :func:`neardup_assignments`."""
+    reader = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.load(src_dir)
+    cands = lsh_candidates_stateful(doc_band_rows(stream, n=n))
+    assign_root = os.path.join(out_dir, "assignments")
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        rows = batch_df.distinct().collect()
+        new_ids = sorted(r.doc_a for r in rows if r.doc_b == _ARRIVAL)
+        pairs = [(r.doc_a, r.doc_b) for r in rows if r.doc_b != _ARRIVAL]
+        prior: dict[int, int] = {}
+        if os.path.isdir(assign_root) and any(os.scandir(assign_root)):
+            prior_df = (
+                spark.read.parquet(assign_root)
+                .where(F.col("batch") != batch_id)  # replay excludes itself
+                .select("doc_id", "group_id")
+            )
+            # only partners referenced by this batch's pairs are needed
+            need = {d for p in pairs for d in p}
+            if need:
+                prior = {
+                    r.doc_id: r.group_id
+                    for r in prior_df.where(
+                        F.col("doc_id").isin([int(d) for d in need])
+                    ).collect()
+                }
+        verified: list[tuple[int, int]] = []
+        if pairs:
+            docs_all = spark.read.parquet(src_dir)
+            cand_df = spark.createDataFrame(pairs, "doc_a bigint, doc_b bigint")
+            verified = [
+                (r.doc_a, r.doc_b)
+                for r in jaccard_on_candidates(
+                    docs_all, cand_df, n=n, threshold_ppm=threshold_ppm
+                ).select("doc_a", "doc_b").collect()
+            ]
+        assigned = _assign_components(new_ids, verified, prior)
+        out = spark.createDataFrame(
+            [(int(d), int(g)) for d, g in sorted(assigned.items())] or [],
+            "doc_id bigint, group_id bigint",
+        )
+        out.write.mode("overwrite").parquet(
+            os.path.join(assign_root, f"batch={batch_id}")
+        )
+
+    return (
+        cands.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def neardup_assignments(spark: SparkSession, out_dir: str) -> DataFrame:
+    """All (doc_id, group_id, batch) assignments so far, one row per doc
+    (exactly-once by construction — verified in the restart test)."""
+    return spark.read.parquet(os.path.join(out_dir, "assignments"))

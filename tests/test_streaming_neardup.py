@@ -1,0 +1,128 @@
+"""Streaming near-dup decision: batch-twin equality, group joining across
+restarts, exactly-once assignment (ctlp_spark/streaming/neardup.py)."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from ctlp_spark.streaming.neardup import (
+    neardup_assignments,
+    run_streaming_neardup,
+)
+
+_VOCAB = {
+    1: "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu",
+    2: "north south east west up down left right front back over under",
+    3: "red orange yellow green blue indigo violet cyan magenta teal pink gray",
+    6: "one two three four five six seven eight nine ten eleven twelve",
+}
+
+
+def _neardup_of(text: str, tag: str) -> str:
+    # append one token: 10→11 shingles sharing 10 ⇒ jaccard ~0.9, which the
+    # 3-band/4-row MinHash blocking catches reliably (a last-token REPLACE
+    # gives ~0.54 — real LSH recall territory, flaky for a unit test)
+    return text + " " + tag
+
+
+def _write_doc(src: str, doc_id: int, text: str) -> None:
+    tbl = pa.Table.from_pandas(
+        pd.DataFrame({"doc_id": pd.array([doc_id], dtype="int64"),
+                      "text": [text]}),
+        preserve_index=False,
+    )
+    pq.write_table(tbl, os.path.join(src, f"doc-{doc_id:04d}.parquet"))
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    return str(src), str(out), str(ckpt)
+
+
+def _drain(spark, src, out, ckpt):
+    q = run_streaming_neardup(
+        spark, src, out, ckpt, max_files_per_trigger=2
+    )
+    q.awaitTermination()
+
+
+def _assignments(spark, out) -> dict[int, int]:
+    rows = neardup_assignments(spark, out).collect()
+    got: dict[int, int] = {}
+    for r in rows:
+        assert r.doc_id not in got, f"doc {r.doc_id} assigned twice"
+        got[r.doc_id] = r.group_id
+    return got
+
+
+def test_streaming_neardup_restart_joins_existing_groups(spark, dirs):
+    src, out, ckpt = dirs
+    # phase 1: three distinct docs + a near-dup of doc 1, across several
+    # micro-batches (maxFilesPerTrigger=2)
+    _write_doc(src, 1, _VOCAB[1])
+    _write_doc(src, 2, _VOCAB[2])
+    _write_doc(src, 3, _VOCAB[3])
+    _write_doc(src, 4, _neardup_of(_VOCAB[1], "variant"))
+    _drain(spark, src, out, ckpt)
+    got = _assignments(spark, out)
+    assert got == {1: 1, 2: 2, 3: 3, 4: 1}
+
+    # phase 2: RESTART from the checkpoint with new files — a near-dup of
+    # doc 2 must join doc 2's existing group; old docs get no new rows
+    _write_doc(src, 5, _neardup_of(_VOCAB[2], "variant"))
+    _write_doc(src, 6, _VOCAB[6])
+    _drain(spark, src, out, ckpt)
+    got = _assignments(spark, out)  # asserts exactly-once per doc
+    assert got == {1: 1, 2: 2, 3: 3, 4: 1, 5: 2, 6: 6}
+
+    # phase 3: restart with NOTHING new — zero new assignment rows
+    n_before = neardup_assignments(spark, out).count()
+    _drain(spark, src, out, ckpt)
+    assert neardup_assignments(spark, out).count() == n_before
+
+
+def test_streaming_matches_batch_twin_without_bridges(spark, dirs):
+    """On a corpus where every near-dup arrives after its canonical (no
+    group-bridging docs), the streaming decision equals the batch d8
+    connected-components decision."""
+    from ctlp_spark.functions.dedup import neardup_groups
+
+    src, out, ckpt = dirs
+    _write_doc(src, 1, _VOCAB[1])
+    _write_doc(src, 2, _VOCAB[2])
+    _write_doc(src, 3, _neardup_of(_VOCAB[1], "varx"))
+    _write_doc(src, 4, _neardup_of(_VOCAB[2], "vary"))
+    _write_doc(src, 5, _neardup_of(_VOCAB[1], "varz"))
+    _drain(spark, src, out, ckpt)
+    streaming = {
+        (r.doc_id, r.group_id)
+        for r in neardup_assignments(spark, out).collect()
+    }
+    batch = {
+        (r.doc_id, r.group_id)
+        for r in neardup_groups(spark.read.parquet(src)).collect()
+    }
+    assert streaming == batch
+
+
+def test_within_batch_transitive_component(spark, dirs):
+    """Docs arriving in the SAME micro-batch form one group transitively
+    (the driver union-find), labeled by the smallest member id."""
+    src, out, ckpt = dirs
+    _write_doc(src, 7, _VOCAB[1])
+    _write_doc(src, 8, _neardup_of(_VOCAB[1], "va"))
+    _write_doc(src, 9, _neardup_of(_VOCAB[1], "vb"))
+    q = run_streaming_neardup(spark, src, out, ckpt)  # one batch, all files
+    q.awaitTermination()
+    got = _assignments(spark, out)
+    assert got == {7: 7, 8: 7, 9: 7}
