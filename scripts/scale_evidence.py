@@ -1,0 +1,162 @@
+"""Scale-evidence run for the dedup/ANN family (VERDICT r2 item 5).
+
+Synthesizes a documents corpus (driver-testdata-shaped: small vocab word
+soup + a ~1.2% near-dup tail) and an embeddings corpus (label-clustered
+float32[64]) at two scales 10× apart, then runs the four headline
+candidate-generating operators at both and reports:
+
+* wall time (median of 3 after warm-up) at each scale,
+* candidate counts and the candidate ratio (candidates / all-pairs),
+* the growth factor of candidates across the 10× — the banding math says
+  ~linear (bucket occupancy stays O(1)); quadratic growth would mean the
+  blocking keys saturated.
+
+Run it ALONE (never concurrently with tests/bench — CLAUDE.md bench
+discipline):  python scripts/scale_evidence.py
+Prints one JSON line; results are recorded in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+ROOT = "/tmp/ctlp_scale"
+VOCAB = (
+    "spark line column order small sort fast value scan slow group batch "
+    "agg filter query key window join part vector table data hash stream "
+    "customer the a big"
+).split()
+
+
+def gen_documents(n_docs: int, seed: int) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    lengths = rng.integers(10, 40, size=n_docs)
+    texts = [
+        " ".join(rng.choice(VOCAB, size=k).tolist()) for k in lengths
+    ]
+    # ~1.2% near-dup tail: copy an earlier doc and append one token
+    n_dup = max(1, n_docs * 12 // 1000)
+    for i in rng.choice(np.arange(n_docs // 2, n_docs), size=n_dup, replace=False):
+        src = int(rng.integers(0, n_docs // 2))
+        texts[i] = texts[src] + " " + str(rng.choice(VOCAB))
+    return pd.DataFrame({
+        "doc_id": np.arange(n_docs, dtype=np.int64),
+        "text": texts,
+    })
+
+
+def gen_embeddings(n_vecs: int, n_labels: int, seed: int) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_labels, 64)) * 2.0
+    labels = rng.integers(0, n_labels, size=n_vecs)
+    vecs = (centers[labels] + rng.standard_normal((n_vecs, 64))).astype(
+        np.float32
+    )
+    return pd.DataFrame({
+        "vec_id": np.arange(n_vecs, dtype=np.int64),
+        "embedding": list(vecs),
+        "label": labels.astype(np.int32),
+    })
+
+
+def write_parquet(pdf: pd.DataFrame, path: str, schema: pa.Schema) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    pq.write_table(
+        pa.Table.from_pandas(pdf, schema=schema, preserve_index=False), path
+    )
+
+
+DOC_SCHEMA = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+EMB_SCHEMA = pa.schema([
+    ("vec_id", pa.int64()),
+    ("embedding", pa.list_(pa.float32())),
+    ("label", pa.int32()),
+])
+
+
+def materialize(scale: str, n_docs: int, n_vecs: int, n_labels: int) -> str:
+    d = os.path.join(ROOT, scale)
+    docs_p = os.path.join(d, "documents.parquet")
+    emb_p = os.path.join(d, "embeddings.parquet")
+    if not os.path.exists(docs_p):
+        write_parquet(gen_documents(n_docs, seed=11), docs_p, DOC_SCHEMA)
+    if not os.path.exists(emb_p):
+        write_parquet(
+            gen_embeddings(n_vecs, n_labels, seed=13), emb_p, EMB_SCHEMA
+        )
+    return d
+
+
+def timed(fn, reps: int = 3) -> tuple[float, int]:
+    n = fn()  # warm-up (also returns the count)
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        n = fn()
+        times.append(time.perf_counter() - t0)
+    return statistics.median(times), n
+
+
+def main() -> None:
+    from ctlp_spark.functions import ann as A
+    from ctlp_spark.functions import dedup as D
+    from ctlp_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-evidence", cpus=32,
+                      shuffle_partitions=32)
+    out: dict[str, dict] = {}
+    for scale, n_docs, n_vecs in (("small", 5_000, 2_000),
+                                  ("big", 50_000, 20_000)):
+        # cell/label count scales with the corpus ("raise the cell count,
+        # never the pair count") — 10 labels at 2k vectors, 100 at 20k
+        d = materialize(scale, n_docs, n_vecs, n_labels=n_vecs // 200)
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        emb = spark.read.parquet(f"{d}/embeddings.parquet")
+        res: dict[str, float | int] = {"n_docs": n_docs, "n_vecs": n_vecs}
+
+        sec, n = timed(lambda: D.lsh_candidate_pairs(docs).count())
+        res["d_lsh_candidates"] = n
+        res["d_lsh_sec"] = round(sec, 2)
+        res["d_cand_ratio_ppb"] = int(n * 1e9 / (n_docs * (n_docs - 1) / 2))
+
+        sec, n = timed(lambda: D.neardup_pipeline(docs).count())
+        res["d7_pairs"] = n
+        res["d7_sec"] = round(sec, 2)
+
+        sec, n = timed(lambda: D.neardup_groups(docs).count())
+        res["d8_rows"] = n
+        res["d8_sec"] = round(sec, 2)
+        D.release_caches()
+
+        sec, n = timed(lambda: A.lsh_band_candidates(emb).count())
+        res["s4_candidates"] = n
+        res["s4_sec"] = round(sec, 2)
+        res["s4_cand_ratio_ppb"] = int(n * 1e9 / (n_vecs * (n_vecs - 1) / 2))
+
+        sec, n = timed(lambda: A.multiprobe_candidates(emb, n_queries=10).count())
+        res["s6_candidates"] = n
+        res["s6_sec"] = round(sec, 2)
+
+        out[scale] = res
+
+    growth = {
+        k: round(out["big"][k] / max(out["small"][k], 1), 2)
+        for k in ("d_lsh_candidates", "s4_candidates", "d7_sec", "d8_sec",
+                  "s4_sec", "s6_sec")
+    }
+    print(json.dumps({"scales": out, "growth_10x": growth}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    main()

@@ -78,3 +78,50 @@ FROM documents""",
             f"{name} diverged on seed {seed}: "
             f"{[p for p in zip(got, want) if p[0] != p[1]][:3]}"
         )
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_asof_join_matches_duckdb_asof(spark, seed):
+    """asof_join vs DuckDB's native ASOF LEFT JOIN on random fixtures with
+    NULL-valued right rows and two value columns — pins matched-ROW
+    semantics (NULL preserved, both columns from the same right row) beyond
+    the c5 fixture. ts is a plain bigint: ASOF only needs an ordered type,
+    and integers dodge cross-engine timezone traps."""
+    from ctlp_spark.operators.asof import asof_join
+
+    rng = random.Random(seed)
+    keys = ["a", "b", "c", "d", "e"]
+    left = pd.DataFrame({
+        "k": [rng.choice(keys) for _ in range(200)],
+        "ts": [rng.randint(0, 1000) for _ in range(200)],
+        "row_id": range(200),
+    })
+    seen: set[tuple[str, int]] = set()
+    r_rows = []
+    while len(r_rows) < 60:
+        k, ts = rng.choice(keys + ["zz"]), rng.randint(0, 1000)
+        if (k, ts) in seen:  # ASOF contract: unique (key, ts) on the right
+            continue
+        seen.add((k, ts))
+        r_rows.append((k, ts,
+                       None if rng.random() < 0.3 else rng.randint(0, 99),
+                       rng.choice(["x", "y", "z"])))
+    right = pd.DataFrame(r_rows, columns=["k", "ts", "v1", "v2"])
+
+    sdf_l = spark.createDataFrame(left, "k string, ts bigint, row_id bigint")
+    sdf_r = spark.createDataFrame(
+        right, "k string, ts bigint, v1 bigint, v2 string"
+    )
+    got = sorted(
+        (r.row_id, r.v1, r.v2)
+        for r in asof_join(sdf_l, sdf_r, keys=["k"],
+                           value_cols=["v1", "v2"]).collect()
+    )
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    want = sorted(map(tuple, con.sql(
+        "SELECT l.row_id, r.v1, r.v2 FROM l ASOF LEFT JOIN r"
+        " ON l.k = r.k AND l.ts >= r.ts ORDER BY l.row_id"
+    ).fetchall()))
+    assert got == want, [p for p in zip(got, want) if p[0] != p[1]][:5]
