@@ -21,8 +21,11 @@ md5-uniform so they do not skew.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ctlp_spark.functions.text import fingerprint_md5, norm_text
 
@@ -348,9 +351,69 @@ WHERE x.doc < y.doc"""
 # ---------------------------------------------------------------------------
 
 
-def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+# token → ±1 bit-vector memo shared across batches within a Python worker
+_SIMHASH_MEMO_CAP = 1 << 20
+
+
+@F.pandas_udf(T.LongType())
+def _simhash_arrow(norm: pd.Series) -> pd.Series:
+    """Arrow kernel for the SimHash signature — EXACT integer math (no
+    IEEE ordering concerns): per doc, sum the distinct tokens' ±1 bit
+    vectors (bit j of the md5 half-hashes) and pack sign bits with the
+    same bit-63 two's-complement as bitpack.BIT_VALUES. Token bit vectors
+    are memoized per worker (real corpora reuse a small vocabulary)."""
+    import hashlib  # noqa: PLC0415
+
+    memo = _simhash_arrow.__dict__.setdefault("_memo", {})
+
+    def vec(tok: str) -> np.ndarray:
+        v = memo.get(tok)
+        if v is None:
+            h = hashlib.md5(tok.encode()).hexdigest()
+            h1, h2 = int(h[:8], 16), int(h[8:16], 16)
+            bits = np.fromiter(
+                ((h1 >> j) & 1 for j in range(32)), dtype=np.int64, count=32
+            )
+            bits2 = np.fromiter(
+                ((h2 >> j) & 1 for j in range(32)), dtype=np.int64, count=32
+            )
+            v = 2 * np.concatenate([bits, bits2]) - 1
+            if len(memo) < _SIMHASH_MEMO_CAP:
+                memo[tok] = v
+        return v
+
+    out = np.empty(len(norm), dtype=np.int64)
+    for i, s in enumerate(norm):
+        acc = np.zeros(SIMHASH_BITS, dtype=np.int64)
+        for tok in set(s.split(" ")):  # distinct, like array_distinct
+            acc = acc + vec(tok)
+        u = 0
+        for j in np.nonzero(acc > 0)[0]:
+            u |= 1 << int(j)
+        out[i] = u - (1 << 64) if u >= (1 << 63) else u
+    return pd.Series(out)
+
+
+def simhash(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    kernel: str = "arrow",
+) -> DataFrame:
     """SIMHASH_BITS-wide signature: bit j set iff the sum over distinct
-    tokens of ±1 (sign of token-hash bit j) is positive."""
+    tokens of ±1 (sign of token-hash bit j) is positive.
+
+    kernel="arrow" (default): one Arrow-batched pass, shuffle-free — the
+    explode + 64-conditional-sum groupBy disappears entirely. kernel=
+    "expr" keeps the original explode/groupBy/pack formulation as the
+    readable twin of the DuckDB oracle SQL (equality pinned in
+    tests/test_dedup.py and the cross-engine fuzz). Rows whose text is
+    NULL are dropped by BOTH kernels (explode of a NULL array drops the
+    doc; the arrow path filters explicitly) — same output frame."""
+    if kernel == "arrow":
+        norm = norm_text(F.col(text_col))
+        return docs.where(norm.isNotNull()).select(
+            F.col(id_col).alias("doc"),
+            _simhash_arrow(norm).alias("simhash"),
+        )
     h1, h2 = token_hash_halves(F.col("tok"))
     toks = docs.select(
         F.col(id_col).alias("doc"),
@@ -408,14 +471,15 @@ SELECT doc, {bits} AS simhash FROM agg"""
 
 
 def simhash_near_pairs(
-    docs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id",
+    text_col: str = "text", kernel: str = "arrow",
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming, found via banded
     16-bit-chunk equality join (a pair within hamming 3 must agree on at
     least one of 4 chunks — pigeonhole, so the result is exact) then
     bit_count verification. 16-bit chunk keys keep the blocking join
     selective (65536 values) instead of degenerating toward all-pairs."""
-    sig = simhash(docs, id_col, text_col)
+    sig = simhash(docs, id_col, text_col, kernel=kernel)
     chunk_bits = SIMHASH_BITS // SIM_BANDS
     mask = (1 << chunk_bits) - 1
     chunks = sig.select(

@@ -170,3 +170,24 @@ def test_deterministic_sample_invariant_to_partitioning(spark, docs):
     )
     got = {r.doc_id for r in out.select("doc_id").collect()}
     assert got == {r.doc_id for r in strat.where("bucket = '0'").collect()}
+
+
+def test_simhash_kernels_equal(spark):
+    """Arrow simhash (per-doc integer kernel) == expression simhash
+    (explode + 64 conditional sums + sign pack) on awkward inputs."""
+    from pyspark.sql import Row
+
+    from ctlp_spark.functions.dedup import simhash
+
+    rows = [
+        Row(doc_id=0, text=""),
+        Row(doc_id=1, text="one"),
+        Row(doc_id=2, text="a b c a b c"),
+        Row(doc_id=3, text="  padded   tokens  here "),
+        Row(doc_id=4, text="Ünïcode und mehr"),
+        Row(doc_id=5, text=" ".join(f"tok{i}" for i in range(200))),
+    ]
+    df = spark.createDataFrame(rows)
+    expr = {r.doc: r.simhash for r in simhash(df, kernel="expr").collect()}
+    arrow = {r.doc: r.simhash for r in simhash(df, kernel="arrow").collect()}
+    assert expr == arrow
