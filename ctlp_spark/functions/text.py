@@ -195,29 +195,42 @@ def text_stats(docs, id_col: str = "doc_id", text_col: str = "text"):
 def lang_id_frame(docs, id_col: str = "doc_id", text_col: str = "text"):
     """(id, lang_pred) with the padded normalized text materialized once —
     the 15 marker replace() scans then read a column instead of carrying
-    30 copies of the regex normalization."""
+    30 copies of the regex normalization.
+
+    Per-language scores are ALSO materialized as columns before the argmax
+    fold: the strict-> CASE chain references best_score twice per level,
+    so folding over inline score trees duplicates them exponentially
+    (2^langs copies of the replace() scans — ~1.5 s of analysis+codegen
+    per query at 5 langs); folding over cheap column refs is free. Values
+    are unchanged — same scores, same greedy lexicographic tie-break as
+    sql_lang_id."""
     padded = docs.select(
         F.col(id_col),
         F.concat(F.lit(" "), norm_text(F.col(text_col)), F.lit(" ")).alias(
             "_p"
         ),
     )
-    best_lang: Column | None = None
-    best_score: Column | None = None
-    for lang in sorted(LANG_MARKERS):
+
+    def score_of(lang: str) -> Column:
         score: Column = F.lit(0)
         for m in LANG_MARKERS[lang]:
             occ = (
                 F.length("_p") - F.length(F.replace(F.col("_p"), F.lit(m)))
             ) / len(m)
             score = score + occ
-        if best_lang is None:
-            best_lang, best_score = F.lit(lang), score
-        else:
-            improved = score > best_score
-            best_lang = F.when(improved, F.lit(lang)).otherwise(best_lang)
-            best_score = F.when(improved, score).otherwise(best_score)
-    return padded.select(
+        return score
+
+    langs = sorted(LANG_MARKERS)
+    scored = padded.select(
+        id_col, *[score_of(lang).alias(f"_s_{lang}") for lang in langs]
+    )
+    best_lang = F.lit(langs[0])
+    best_score: Column = F.col(f"_s_{langs[0]}")
+    for lang in langs[1:]:
+        improved = F.col(f"_s_{lang}") > best_score
+        best_lang = F.when(improved, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(improved, F.col(f"_s_{lang}")).otherwise(best_score)
+    return scored.select(
         id_col,
         F.when(best_score > 0, best_lang).otherwise(F.lit("und")).alias(
             "lang_pred"
