@@ -795,6 +795,17 @@ def q_s5_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.embedding_neardup_pairs(emb)
 
 
+def q_s7_quantize_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column (the standard
+    4x storage compression for vector columns), hash-checked through a
+    scalar digest: per-element floor(x*127/amax + 0.5) is fold-order-free
+    double math, so both engines produce identical int8 codes."""
+    from ctlp_spark.functions import ann as A
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return A.quantize_digest(emb)
+
+
 def _m_sql(kind: str) -> str:
     from ctlp_spark.functions import multimodal as M
 
@@ -814,6 +825,7 @@ def _ann_sql(kind: str) -> str:
         "band_cand": A.sql_lsh_band_candidates(),
         "neardup": A.sql_embedding_neardup_pairs(),
         "multiprobe": A.sql_multiprobe_candidates(n_queries=10),
+        "quantize": A.sql_quantize_digest(),
     }[kind]
 
 
@@ -866,6 +878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s4_lsh_band_candidates": q_s4_lsh_band_candidates,
         "s5_embed_neardup": q_s5_embed_neardup,
         "s6_multiprobe_candidates": q_s6_multiprobe_candidates,
+        "s7_quantize_digest": q_s7_quantize_digest,
         "m1_media_metadata": q_m1_media_metadata,
         "m2_decode_media": q_m2_decode_media,
         "m3_frame_sample": q_m3_frame_sample,
@@ -908,6 +921,7 @@ def oracle_sql() -> dict[str, str]:
         "s4_lsh_band_candidates": _ann_sql("band_cand"),
         "s5_embed_neardup": _ann_sql("neardup"),
         "s6_multiprobe_candidates": _ann_sql("multiprobe"),
+        "s7_quantize_digest": _ann_sql("quantize"),
         "m1_media_metadata": _M1_SQL,
         "m2_decode_media": _m_sql("decode"),
         "m3_frame_sample": _m_sql("frames"),

@@ -601,3 +601,124 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
        CAST(floor({cos} * 1000000) AS BIGINT) AS cos_ppm
 FROM {t} a JOIN {t} b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE CAST(floor({cos} * 1000000) AS BIGINT) >= {threshold_ppm}"""
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization
+# ---------------------------------------------------------------------------
+
+_QUANT_SCHEMA = T.StructType([
+    T.StructField("amax_ppm", T.LongType()),
+    T.StructField("qvals", T.ArrayType(T.IntegerType())),
+])
+
+
+@F.pandas_udf(_QUANT_SCHEMA)
+def _quantize_arrow(a: pd.Series) -> pd.DataFrame:
+    """Arrow kernel for symmetric int8 quantization. Every output element
+    is an INDEPENDENT per-element double expression (floor(x·127/amax
+    + 0.5)) and amax is a max (order-free), so cross-engine exactness
+    needs no fold-order argument at all here — only identical IEEE inputs,
+    which float32→float64 widening guarantees."""
+    if len(a) == 0:
+        return pd.DataFrame({
+            "amax_ppm": pd.Series(dtype="int64"),
+            "qvals": pd.Series(dtype=object),
+        })
+    V = _rows(a)
+    amax = np.zeros(len(V))
+    for j in range(V.shape[1]):
+        amax = np.maximum(amax, np.abs(V[:, j]))
+    Q = np.zeros(V.shape, dtype=np.int64)
+    nz = amax > 0
+    if nz.any():
+        Q[nz] = np.floor(V[nz] * 127.0 / amax[nz, None] + 0.5).astype(np.int64)
+    return pd.DataFrame({
+        "amax_ppm": np.floor(amax * 1_000_000.0).astype(np.int64),
+        "qvals": [row.astype(np.int32) for row in Q],
+    })
+
+
+def quantize_embeddings(emb: DataFrame, kernel: str = "arrow") -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the standard
+    storage/transport compression for a training-data pipeline's vector
+    columns (4× smaller than float32, dequantize = q·amax/127):
+
+        amax  = max(|v_i|)                (per vector)
+        q_i   = floor(v_i · 127 / amax + 0.5)   (amax = 0 ⇒ all-zero)
+
+    Returns (vec_id, label, amax_ppm, qvals array<int>). Both kernels are
+    exact and identical: per-element double math with no fold-order
+    dependence (see _quantize_arrow); "expr" is the Catalyst/DuckDB-twin
+    formulation used by the oracle."""
+    if kernel == "arrow":
+        q = _quantize_arrow(F.col("embedding"))
+        return emb.select(
+            "vec_id", "label",
+            q["amax_ppm"].alias("amax_ppm"), q["qvals"].alias("qvals"),
+        )
+    v = F.col("embedding").cast("array<double>")
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    qvals = F.when(
+        amax == 0.0,
+        F.expr(f"array_repeat(0, {DIM})"),
+    ).otherwise(
+        F.transform(
+            v, lambda x: F.floor(x * 127.0 / amax + 0.5).cast("int")
+        )
+    )
+    return emb.select(
+        "vec_id",
+        "label",
+        F.floor(amax * 1_000_000.0).cast("bigint").alias("amax_ppm"),
+        qvals.alias("qvals"),
+    )
+
+
+def quantize_digest(emb: DataFrame, kernel: str = "arrow") -> DataFrame:
+    """Scalar digest of the quantization, for the hash-compared oracle
+    query (the driver's value hash wants scalar columns): position-weighted
+    checksum plus range — integer-exact in both engines."""
+    q = quantize_embeddings(emb, kernel=kernel)
+    idx = F.sequence(F.lit(1), F.lit(DIM))
+    weighted = F.zip_with(
+        F.col("qvals").cast("array<bigint>"), idx.cast("array<bigint>"),
+        lambda x, i: x * i,
+    )
+    return q.select(
+        "vec_id",
+        "label",
+        "amax_ppm",
+        F.aggregate(weighted, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+        .alias("q_checksum"),
+        F.array_min("qvals").cast("bigint").alias("q_min"),
+        F.array_max("qvals").cast("bigint").alias("q_max"),
+    )
+
+
+def sql_quantize_digest(t: str = "embeddings", dim: int = DIM) -> str:
+    amax = (
+        f"list_max(list_transform(embedding, "
+        f"x -> abs(CAST(x AS DOUBLE))))"
+    )
+    qvals = (
+        f"CASE WHEN {amax} = 0.0 THEN "
+        f"list_transform(generate_series(1, {dim}), i -> 0) "
+        f"ELSE list_transform(embedding, x -> CAST(floor("
+        f"CAST(x AS DOUBLE) * 127.0 / {amax} + 0.5) AS INT)) END"
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id, label,
+         CAST(floor({amax} * 1000000.0) AS BIGINT) AS amax_ppm,
+         {qvals} AS qvals
+  FROM {t}
+)
+SELECT vec_id, label, amax_ppm,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+         list_transform(generate_series(1, {dim}),
+                        i -> CAST(qvals[i] AS BIGINT) * i)),
+         (acc, x) -> acc + x) AS q_checksum,
+       CAST(list_min(qvals) AS BIGINT) AS q_min,
+       CAST(list_max(qvals) AS BIGINT) AS q_max
+FROM q"""

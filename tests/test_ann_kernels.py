@@ -100,3 +100,21 @@ def test_topk_equal_across_kernels(emb):
         for r in A.brute_force_topk(emb, k=3, n_queries=6, kernel="arrow").collect()
     )
     assert expr == arrow
+
+
+def test_quantize_kernels_equal_and_roundtrip(emb):
+    """int8 quantization: arrow == expr exactly (incl. the qvals arrays),
+    and dequantization error is bounded by half a step (amax/254)."""
+    arrow = {r.vec_id: (r.amax_ppm, tuple(r.qvals))
+             for r in A.quantize_embeddings(emb, kernel="arrow").collect()}
+    expr = {r.vec_id: (r.amax_ppm, tuple(r.qvals))
+            for r in A.quantize_embeddings(emb, kernel="expr").collect()}
+    assert arrow == expr
+    raw = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+           for r in emb.collect()}
+    for vid, (amax_ppm, q) in arrow.items():
+        amax = np.abs(raw[vid]).max()
+        if amax == 0:
+            continue
+        deq = np.array(q, dtype=np.float64) * amax / 127.0
+        assert np.abs(deq - raw[vid]).max() <= amax / 254.0 + 1e-12
