@@ -795,6 +795,22 @@ def q_s5_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.embedding_neardup_pairs(emb)
 
 
+def q_t6_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (training-shard assignment) via the
+    distributed two-phase prefix sum — verified against DuckDB's naive
+    single-window global cumsum definition."""
+    from ctlp_spark.functions.packing import token_budget_shards
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return token_budget_shards(docs)
+
+
+def _t6_sql() -> str:
+    from ctlp_spark.functions.packing import sql_token_budget_shards
+
+    return sql_token_budget_shards()
+
+
 def q_s7_quantize_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of the embedding column (the standard
     4x storage compression for vector columns), hash-checked through a
@@ -864,6 +880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t3_fingerprints": q_t3_fingerprints,
         "t4_tfidf_top_terms": q_t4_tfidf_top_terms,
         "t5_stratified_sample": q_t5_stratified_sample,
+        "t6_token_shards": q_t6_token_shards,
         "d1_exact_dedup": q_d1_exact_dedup,
         "d2_ngram_jaccard": q_d2_ngram_jaccard,
         "d3_minhash_signatures": q_d3_minhash_signatures,
@@ -907,6 +924,7 @@ def oracle_sql() -> dict[str, str]:
         "t3_fingerprints": _t3_sql(),
         "t4_tfidf_top_terms": _t4_sql(),
         "t5_stratified_sample": _t5_sql(),
+        "t6_token_shards": _t6_sql(),
         "d1_exact_dedup": _dedup_sql("exact"),
         "d2_ngram_jaccard": _dedup_sql("jaccard"),
         "d3_minhash_signatures": _dedup_sql("minhash"),

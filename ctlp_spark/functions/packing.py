@@ -1,0 +1,117 @@
+"""Token-budget sequence packing — assign documents to contiguous training
+shards of ~``budget`` tokens each, in stable doc_id order.
+
+This is the sharding step every LLM training pipeline runs before
+tokenized examples are written: downstream loaders want shards of a
+bounded token count, in a deterministic order, reproducible across reruns
+and partitionings.
+
+Semantics (exact, oracle-checked): with docs ordered by ``doc_id`` and
+``start(d) = cumulative token count of all earlier docs``,
+
+    shard_id(d) = start(d) div budget
+
+i.e. a document lands in the shard its first token falls into (documents
+may straddle a boundary; the contract assigns by start offset — simple,
+deterministic, and what a sequential writer naturally produces).
+
+Spark-first scale design — the classic TWO-PHASE DISTRIBUTED PREFIX SUM,
+not a global single-partition window:
+
+1. bucket docs by ``doc_id div bucket_span`` (dense ids ⇒ balanced);
+2. per-bucket running totals via a window PARTITIONED BY bucket (parallel,
+   one narrow shuffle);
+3. per-bucket grand totals (a tiny aggregate — one row per bucket) come to
+   the driver, turn into exclusive prefix offsets, and go back as a
+   BROADCAST join;
+4. global running total = bucket offset + local running total.
+
+The only driver-side data is one row per bucket (``n_docs / bucket_span``
+rows — thousands at 10^12 docs with a large span), and the only wide
+operation is the per-bucket window sort. The DuckDB oracle is the direct
+single-window spelling, so the distributed decomposition is verified
+against the naive global definition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ctlp_spark.functions.text import token_count
+
+DEFAULT_BUDGET = 512
+DEFAULT_BUCKET_SPAN = 1000
+
+
+def token_budget_shards(
+    docs: DataFrame,
+    budget: int = DEFAULT_BUDGET,
+    bucket_span: int = DEFAULT_BUCKET_SPAN,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_tokens, start_tok, shard_id) — see module docstring."""
+    sized = docs.select(
+        F.col(id_col),
+        token_count(F.col(text_col)).cast("bigint").alias("n_tokens"),
+        (F.col(id_col).cast("bigint") / bucket_span).cast("bigint")
+        .alias("_bucket"),
+    )
+    w = (
+        Window.partitionBy("_bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = sized.withColumn("_local_cum", F.sum("n_tokens").over(w))
+    totals = (
+        local.groupBy("_bucket")
+        .agg(F.max("_local_cum").alias("_total"))
+        .orderBy("_bucket")
+        .collect()
+    )
+    offsets = []
+    acc = 0
+    for row in totals:
+        offsets.append((row["_bucket"], acc))
+        acc += row["_total"]
+    spark = docs.sparkSession
+    off_df = spark.createDataFrame(offsets or [(0, 0)],
+                                   "_bucket bigint, _offset bigint")
+    start = F.col("_offset") + F.col("_local_cum") - F.col("n_tokens")
+    return (
+        local.join(F.broadcast(off_df), "_bucket")
+        .select(
+            id_col,
+            "n_tokens",
+            start.alias("start_tok"),
+            F.expr(f"(_offset + _local_cum - n_tokens) div {budget}")
+            .alias("shard_id"),
+        )
+    )
+
+
+def sql_token_budget_shards(
+    t: str = "documents", budget: int = DEFAULT_BUDGET
+) -> str:
+    """DuckDB twin: the naive single-window global definition — verifying
+    that the distributed two-phase prefix sum equals it."""
+    from ctlp_spark.functions.text import SQL_TOKEN_COUNT
+
+    ntok = SQL_TOKEN_COUNT.format(t="text")
+    return f"""
+WITH sized AS (
+  SELECT doc_id, CAST({ntok} AS BIGINT) AS n_tokens FROM {t}
+),
+cum AS (
+  SELECT doc_id, n_tokens,
+         -- CAST: DuckDB window sum(BIGINT) is HUGEINT, which pandas
+         -- renders as float64 and the value-hash compare then rejects
+         CAST(sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           - n_tokens AS start_tok
+  FROM sized
+)
+SELECT doc_id, n_tokens, start_tok,
+       CAST(start_tok // {budget} AS BIGINT) AS shard_id
+FROM cum"""

@@ -1,0 +1,59 @@
+"""Token-budget sequence packing (functions/packing.py): the distributed
+two-phase prefix sum must equal the naive global definition, at any
+bucket_span; shard sizes respect the budget contract."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ctlp_spark.functions.packing import token_budget_shards
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, " ".join(f"w{j}" for j in range((i * 7) % 23 + 1)))
+            for i in range(300)]
+    rows.append((300, ""))  # empty doc: 0 tokens, must not shift shards
+    return spark.createDataFrame(rows, "doc_id bigint, text string").cache()
+
+
+def _naive(rows, budget):
+    rows = sorted(rows)
+    acc, out = 0, {}
+    for doc_id, n in rows:
+        out[doc_id] = acc // budget
+        acc += n
+    return out
+
+
+def test_matches_naive_global_definition(docs):
+    got = {r.doc_id: (r.n_tokens, r.start_tok, r.shard_id)
+           for r in token_budget_shards(docs, budget=50).collect()}
+    naive = _naive([(d, n) for d, (n, _, _) in got.items()], 50)
+    assert {d: s for d, (_, _, s) in got.items()} == naive
+    # start_tok really is the exclusive prefix sum
+    acc = 0
+    for d in sorted(got):
+        n, start, _ = got[d]
+        assert start == acc
+        acc += n
+
+
+def test_bucket_span_invariance(docs):
+    """The shard assignment is a pure function of (doc order, budget) —
+    the internal bucketing must be invisible."""
+    a = sorted(map(tuple, token_budget_shards(docs, budget=64,
+                                              bucket_span=7).collect()))
+    b = sorted(map(tuple, token_budget_shards(docs, budget=64,
+                                              bucket_span=1000).collect()))
+    assert a == b
+
+
+def test_offsets_join_is_broadcast(docs):
+    plan = (
+        token_budget_shards(docs, budget=50)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
