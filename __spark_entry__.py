@@ -811,6 +811,50 @@ def _t6_sql() -> str:
     return sql_token_budget_shards()
 
 
+_T7_WEIGHTS = {"src0": 2500, "src1": 1500, "src2": 500}
+
+
+def q_t7_source_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture up-weighting: per-source epoch repetition
+    (2.5x / 1.5x / 0.5x / default 1x) with a content-hash fractional
+    epoch — the up-sampling half of dataset mixing (t5 is the
+    down-sampling half)."""
+    from ctlp_spark.functions.sampling import repeat_weighted
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repeat_weighted(
+        docs.select("doc_id", "source"), _T7_WEIGHTS,
+        strata_col="source", key_col="doc_id",
+    )
+
+
+def _t7_sql() -> str:
+    from ctlp_spark.functions.sampling import sql_repeat_weighted
+
+    return sql_repeat_weighted(
+        "(SELECT doc_id, source FROM documents)", _T7_WEIGHTS,
+        strata="source", key="doc_id",
+    )
+
+
+def q_c9_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation context packing: each turn assigned to the
+    ~256-token training window its first token falls into, under the
+    stable (conv_id, turn_idx) ordering — pure per-key window cumsum."""
+    from ctlp_spark.functions.packing import context_windows
+
+    return context_windows(transcripts_from_events(spark, sf_dir))
+
+
+def _c9_sql() -> str:
+    from ctlp_spark.functions.packing import sql_context_windows
+
+    return (
+        f"WITH t AS ({TRANSCRIPTS_SQL_DUCKDB}), final AS "
+        f"({sql_context_windows('t')}) SELECT * FROM final"
+    )
+
+
 def q_s7_quantize_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of the embedding column (the standard
     4x storage compression for vector columns), hash-checked through a
@@ -881,6 +925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t4_tfidf_top_terms": q_t4_tfidf_top_terms,
         "t5_stratified_sample": q_t5_stratified_sample,
         "t6_token_shards": q_t6_token_shards,
+        "t7_source_epochs": q_t7_source_epochs,
         "d1_exact_dedup": q_d1_exact_dedup,
         "d2_ngram_jaccard": q_d2_ngram_jaccard,
         "d3_minhash_signatures": q_d3_minhash_signatures,
@@ -907,6 +952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c6_range_window_counts": q_c6_range_window_counts,
         "c7_latency_percentiles": q_c7_latency_percentiles,
         "c8_daily_distinct_convs": q_c8_daily_distinct_convs,
+        "c9_context_windows": q_c9_context_windows,
     }
 
 
@@ -925,6 +971,7 @@ def oracle_sql() -> dict[str, str]:
         "t4_tfidf_top_terms": _t4_sql(),
         "t5_stratified_sample": _t5_sql(),
         "t6_token_shards": _t6_sql(),
+        "t7_source_epochs": _t7_sql(),
         "d1_exact_dedup": _dedup_sql("exact"),
         "d2_ngram_jaccard": _dedup_sql("jaccard"),
         "d3_minhash_signatures": _dedup_sql("minhash"),
@@ -951,4 +998,5 @@ def oracle_sql() -> dict[str, str]:
         "c6_range_window_counts": _c6_sql(),
         "c7_latency_percentiles": _C7_SQL,
         "c8_daily_distinct_convs": _C8_SQL,
+        "c9_context_windows": _c9_sql(),
     }

@@ -115,3 +115,67 @@ cum AS (
 SELECT doc_id, n_tokens, start_tok,
        CAST(start_tok // {budget} AS BIGINT) AS shard_id
 FROM cum"""
+
+
+def context_windows(
+    df: DataFrame,
+    budget: int = 256,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-CONVERSATION context packing: assign each turn to the context
+    window its first token falls into, under the stable (conv_id,
+    turn_idx) ordering — the context-construction step when multi-turn
+    transcripts are cut into ~budget-token training examples.
+
+        start(turn)  = tokens of earlier turns in the SAME conversation
+        win_idx      = start div budget
+
+    Pure window arithmetic partitioned by conv_id: shuffle keyed on the
+    conversation (the same unavoidable exchange as every per-conversation
+    operator — skew bounded by the largest single conversation, see
+    operators/conversation.py). No driver step: unlike token_budget_shards
+    the prefix sum is per-key, so the window IS the scale-correct plan."""
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n_tok = token_count(F.col(text_col)).cast("bigint")
+    sized = df.select(
+        conv_col, order_col, n_tok.alias("n_tokens")
+    )
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    cum = sized.select(
+        conv_col, order_col, "n_tokens", start.alias("start_tok")
+    )
+    return cum.select(
+        conv_col,
+        order_col,
+        "n_tokens",
+        "start_tok",
+        F.expr(f"start_tok div {budget}").alias("win_idx"),
+    )
+
+
+def sql_context_windows(
+    t: str = "t", budget: int = 256
+) -> str:
+    from ctlp_spark.functions.text import SQL_TOKEN_COUNT
+
+    ntok = SQL_TOKEN_COUNT.format(t="text")
+    return f"""
+WITH sized AS (
+  SELECT conv_id, turn_idx, CAST({ntok} AS BIGINT) AS n_tokens FROM {t}
+),
+cum AS (
+  SELECT conv_id, turn_idx, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY conv_id ORDER BY turn_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           - n_tokens AS start_tok
+  FROM sized
+)
+SELECT conv_id, turn_idx, n_tokens, start_tok,
+       CAST(start_tok // {budget} AS BIGINT) AS win_idx
+FROM cum"""

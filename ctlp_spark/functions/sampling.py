@@ -75,3 +75,64 @@ def sql_stratified_sample_predicate(
         f"{sql_sample_hash(key, salt)} < "
         f"(CASE {branches} ELSE {default_ppm} END)"
     )
+
+
+def repeat_weighted(
+    df: DataFrame,
+    weights_milli: dict[str, int],
+    strata_col: str,
+    key_col: str,
+    default_milli: int = 1000,
+    salt: str = "epoch",
+) -> DataFrame:
+    """Deterministic UP-weighting (epoch repetition) — the other half of
+    mixture building (stratified_sample only down-samples): stratum s
+    contributes weights_milli[s]/1000 epochs of its rows. Each row repeats
+    floor(w) times, plus one more iff its content hash falls under the
+    fractional part — so a 2.5x source repeats every row 2x and a
+    deterministic, partitioning-independent half of them 3x. Weights < 1
+    degrade gracefully into down-sampling (0 copies drops the row).
+
+    Adds an ``epoch`` column (1-based copy index) so downstream shuffles /
+    global sort keys can keep copies apart. Pure per-row explode — no
+    shuffle, no driver state, resume-stable like everything in this
+    module."""
+    w: Column = F.lit(default_milli)
+    for value, milli in sorted(weights_milli.items()):
+        w = F.when(F.col(strata_col) == value, F.lit(milli)).otherwise(w)
+    whole = (w / 1000).cast("bigint")  # exact: w is an int literal column
+    frac_ppm = (w % 1000) * 1000
+    extra = (sample_hash(F.col(key_col), salt) < frac_ppm).cast("bigint")
+    n_copies = whole + extra
+    # Spark sequence(1, 0) yields a DESCENDING [1, 0] rather than an empty
+    # array (unlike DuckDB generate_series) — guard explicitly so zero
+    # copies means zero rows
+    copies = F.when(
+        n_copies >= 1, F.sequence(F.lit(1).cast("bigint"), n_copies)
+    ).otherwise(F.array().cast("array<bigint>"))
+    return df.select("*", F.explode(copies).alias("epoch"))
+
+
+def sql_repeat_weighted(
+    t: str,
+    weights_milli: dict[str, int],
+    strata: str,
+    key: str,
+    default_milli: int = 1000,
+    salt: str = "epoch",
+) -> str:
+    """DuckDB twin CTE body: SELECT *, epoch FROM t with the same copy
+    counts (generate_series(1, 0) is empty in DuckDB, so no guard)."""
+    branches = " ".join(
+        f"WHEN {strata} = '{v}' THEN {m}"
+        for v, m in sorted(weights_milli.items())
+    )
+    w = f"(CASE {branches} ELSE {default_milli} END)"
+    n = (
+        f"({w} // 1000 + CASE WHEN {sql_sample_hash(key, salt)} < "
+        f"({w} % 1000) * 1000 THEN 1 ELSE 0 END)"
+    )
+    return (
+        f"SELECT *, unnest(generate_series(1, CAST({n} AS BIGINT))) AS epoch "
+        f"FROM {t}"
+    )

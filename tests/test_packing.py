@@ -57,3 +57,51 @@ def test_offsets_join_is_broadcast(docs):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_context_windows_per_conversation(spark):
+    from ctlp_spark.functions.packing import context_windows
+
+    rows = []
+    for c in ("a", "b"):
+        for i in range(10):
+            rows.append((c, i, " ".join(["w"] * 30)))  # 30 tokens per turn
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    got = {(r.conv_id, r.turn_idx): (r.start_tok, r.win_idx)
+           for r in context_windows(df, budget=100).collect()}
+    # per-conv independent cumsum: turn i starts at 30*i, window = start//100
+    for c in ("a", "b"):
+        for i in range(10):
+            assert got[(c, i)] == (30 * i, (30 * i) // 100)
+
+
+def test_repeat_weighted_copy_counts(spark):
+    from ctlp_spark.functions.sampling import repeat_weighted, sample_hash
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, "up" if i % 2 else "down") for i in range(200)],
+        "doc_id bigint, source string",
+    )
+    out = repeat_weighted(
+        df, {"up": 2500, "down": 400}, strata_col="source", key_col="doc_id"
+    )
+    counts = {
+        r.doc_id: r.n for r in
+        out.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    hashes = {
+        r.doc_id: r.h for r in
+        df.select("doc_id", sample_hash(F.col("doc_id"), "epoch").alias("h")).collect()
+    }
+    for i in range(200):
+        if i % 2:  # 2.5x: 2 copies + 1 iff hash < 500000
+            assert counts[i] == 2 + (1 if hashes[i] < 500_000 else 0)
+        else:      # 0.4x: 0 copies (row absent) or 1
+            expect = 1 if hashes[i] < 400_000 else None
+            assert counts.get(i) == expect
+    # epoch column is the 1-based copy index
+    epochs = sorted(
+        r.epoch for r in out.where(F.col("doc_id") == 1).collect()
+    )
+    assert epochs == list(range(1, counts[1] + 1))
