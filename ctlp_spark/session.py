@@ -35,6 +35,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
+        # lz4 sink codec: measured ~10-15% faster than snappy on the
+        # flagship write path on this host (zstd ~40% slower at default
+        # level); comparable compression ratio for this data shape.
+        # Per-write .option("compression", ...) still overrides.
+        .config("spark.sql.parquet.compression.codec", "lz4")
         .config("spark.driver.memory", os.environ.get("CTLP_DRIVER_MEM", "16g"))
         # ParallelGC: G1's concurrent cycles contend pathologically with
         # 32 task threads in one local-mode JVM on this virtualized host
