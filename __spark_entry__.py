@@ -399,6 +399,17 @@ def q_d7_neardup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.neardup_pipeline(docs)
 
 
+def q_d9_neardup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d7 with Bloom pre-pruning: the candidate-id semi-join (a docs-side
+    shuffle once the id set outgrows broadcast) is replaced by a broadcast
+    Bloom bitmap + codegen probe (functions/bloom.py). False positives are
+    absorbed by the exact inner joins, so the oracle is the SAME exact SQL
+    as d7 — the driver's hash compare proves the plan swap is free."""
+    from ctlp_spark.functions import dedup as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return D.neardup_pipeline(docs, prefilter="bloom")
+
 
 # ---------------------------------------------------------------------------
 # conversation-level queries (skew-safe aggregation, stable-order windows)
@@ -934,6 +945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d6_simhash_near": q_d6_simhash_near,
         "d7_neardup_pipeline": q_d7_neardup_pipeline,
         "d8_neardup_groups": q_d8_neardup_groups,
+        "d9_neardup_bloom": q_d9_neardup_bloom,
         "s1_ann_bruteforce": q_s1_ann_bruteforce,
         "s2_ann_ivf": q_s2_ann_ivf,
         "s3_lsh_buckets": q_s3_lsh_buckets,
@@ -980,6 +992,9 @@ def oracle_sql() -> dict[str, str]:
         "d6_simhash_near": _dedup_sql("simhash_near"),
         "d7_neardup_pipeline": _dedup_sql("neardup_pipeline"),
         "d8_neardup_groups": _dedup_sql("neardup_groups"),
+        # d9 is d7 under a different physical plan (Bloom pre-pruning);
+        # the exact-result oracle is deliberately identical to d7's.
+        "d9_neardup_bloom": _dedup_sql("neardup_pipeline"),
         "s1_ann_bruteforce": _ann_sql("brute"),
         "s2_ann_ivf": _ann_sql("ivf"),
         "s3_lsh_buckets": _ann_sql("buckets"),

@@ -1,0 +1,156 @@
+"""Distributed Bloom-filter pre-pruning for candidate-restricted stages.
+
+At 100 TB the LSH→verify composition (``dedup.jaccard_on_candidates``)
+must restrict the expensive shingling stage to docs that appear in the
+candidate pair list. The default ``left_semi`` join does that exactly,
+but once the candidate id set outgrows the broadcast threshold it costs
+a full shuffle of the *docs* table on id. A Bloom filter replaces that
+shuffle with a fixed-size broadcast bitmap + a pure-codegen probe:
+false positives only mean a few extra docs get shingled — the exact
+inner joins downstream still restrict the OUTPUT to real candidates, so
+the final result is bit-identical to the semi-join path (fuzz-pinned in
+``tests/test_bloom.py``).
+
+Layout: ``m_bits`` (power of two) bits packed into an ``array<bigint>``
+of ``m_bits/64`` words, built distributed (explode k probe positions →
+``bit_or`` per word → zero-filled dense array in one tiny agg) — no
+driver-side loop, no ``F.lit(big_list)`` (CLAUDE.md Py4J cliff). Probes
+use Kirsch-Mitzenmacher double hashing off two independent 32-bit md5
+halves (same ``'0x'||substr(md5(..))`` idiom as ``dedup.shingle_hash``,
+so a DuckDB twin stays possible): ``pos_i = (h1 + i*(2*h2+1)) % m``,
+the ``2*h2+1`` keeping the stride odd (coprime with a power-of-two m).
+
+Sizing at scale: ~10 bits per expected member with k=4 gives ~1-2 %
+false positives; ``m_bits`` up to ~2^31 (a 256 MiB bitmap) stays within
+a single row's array limits and broadcast range. The bitmap build is
+one job over the id set — run it once and reuse.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_M_BITS = 1 << 20
+DEFAULT_K = 4
+
+_H1 = "_bloom_h1"
+_H2 = "_bloom_h2"
+
+
+def _hash_halves(id_str: Column) -> tuple[Column, Column]:
+    """Two independent 32-bit halves of md5(id) — same idiom (and the
+    same DuckDB translation) as ``dedup.token_hash_halves``."""
+    h1 = F.conv(F.substring(F.md5(id_str), 1, 8), 16, 10).cast("bigint")
+    h2 = F.conv(F.substring(F.md5(id_str), 9, 8), 16, 10).cast("bigint")
+    return h1, h2
+
+
+def _check_params(m_bits: int, k: int) -> None:
+    if m_bits < 64 or (m_bits & (m_bits - 1)) != 0:
+        raise ValueError(f"m_bits must be a power of two >= 64, got {m_bits}")
+    if not (1 <= k <= 16):
+        raise ValueError(f"k must be in [1, 16], got {k}")
+
+
+def _positions(h1: Column, h2: Column, m_bits: int, k: int) -> list[Column]:
+    stride = h2 * 2 + 1  # odd => coprime with power-of-two m_bits
+    return [(h1 + F.lit(i) * stride) % m_bits for i in range(k)]
+
+
+def bloom_bitmap(
+    ids: DataFrame,
+    id_col: str = "doc_id",
+    m_bits: int = DEFAULT_M_BITS,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """One-row DataFrame ``(words: array<bigint>)`` — the dense bitmap
+    over the distinct values of ``ids[id_col]``, built fully distributed:
+    k probe positions per id → (word, mask) → ``bit_or`` per word (one
+    hash shuffle over <= k·|ids| tiny rows) → left join onto a
+    ``spark.range`` of all words (zero fill) → one single-row agg."""
+    _check_params(m_bits, k)
+    spark = ids.sparkSession
+    h1, h2 = _hash_halves(F.col(id_col).cast("string"))
+    probes = ids.select(
+        F.explode(F.array(*_positions(h1, h2, m_bits, k))).alias("pos")
+    )
+    masks = (
+        probes.select(
+            F.call_function("shiftright", F.col("pos"), F.lit(6)).alias("word"),
+            F.call_function(
+                "shiftleft", F.lit(1).cast("bigint"), (F.col("pos") % 64).cast("int")
+            ).alias("m"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(m)").alias("m"))
+    )
+    dense = (
+        spark.range(m_bits // 64)
+        .select(F.col("id").alias("word"))
+        .join(masks, "word", "left")
+        .select("word", F.coalesce("m", F.lit(0).cast("bigint")).alias("m"))
+    )
+    # One row of m_bits/64 elements: the HOF lambda here runs once over a
+    # single small array (not per data row), so the CLAUDE.md interpreted-
+    # HOF cliff doesn't apply.
+    return dense.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("word", "m"))), lambda x: x["m"]
+        ).alias("words")
+    )
+
+
+def with_bloom_member(
+    df: DataFrame,
+    id_col: str,
+    bitmap: DataFrame,
+    m_bits: int = DEFAULT_M_BITS,
+    k: int = DEFAULT_K,
+    out_col: str = "bloom_member",
+) -> DataFrame:
+    """Attach a boolean ``out_col``: does ``id_col`` probe all-ones in the
+    broadcast bitmap? The bitmap joins as a single broadcast row
+    (BroadcastNestedLoopJoin over 1 row — no shuffle of ``df``); the k
+    probes are pure codegen (md5 + integer ops + ``element_at``)."""
+    _check_params(m_bits, k)
+    h1, h2 = _hash_halves(F.col(id_col).cast("string"))
+    # materialize the halves as columns so md5 is computed once per row,
+    # not once per probe expression
+    probed = df.crossJoin(F.broadcast(bitmap)).withColumns({_H1: h1, _H2: h2})
+    conds = [
+        (
+            F.element_at(
+                "words",
+                (F.call_function("shiftright", pos, F.lit(6)) + 1).cast("int"),
+            ).bitwiseAND(
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("bigint"), (pos % 64).cast("int")
+                )
+            )
+            != 0
+        )
+        for pos in _positions(F.col(_H1), F.col(_H2), m_bits, k)
+    ]
+    return probed.withColumn(out_col, reduce(Column.__and__, conds)).drop(
+        "words", _H1, _H2
+    )
+
+
+def bloom_prefilter(
+    df: DataFrame,
+    ids: DataFrame,
+    id_col: str = "doc_id",
+    m_bits: int = DEFAULT_M_BITS,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """``df`` restricted to rows whose ``id_col`` is *probably* in
+    ``ids[id_col]`` — no false negatives (every true member passes by
+    construction), ~1-2 % false positives at default sizing. The scale
+    substitute for a ``left_semi`` join when the id set exceeds broadcast
+    range but its Bloom bitmap doesn't."""
+    bm = bloom_bitmap(ids, id_col, m_bits, k)
+    flagged = with_bloom_member(df, id_col, bm, m_bits, k, out_col="_bm")
+    return flagged.where(F.col("_bm")).drop("_bm")

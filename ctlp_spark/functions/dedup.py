@@ -675,12 +675,24 @@ def jaccard_on_candidates(
     id_col: str = "doc_id",
     text_col: str = "text",
     checkpoint: str | None = "local",
+    prefilter: str = "semi",
 ) -> DataFrame:
     """Exact Jaccard verification restricted to candidate pairs — the
     LSH→verify composition that replaces the quadratic shingle self-join at
     scale. Shingle SETS are joined to the (doc_a, doc_b) pair list (two
     hash joins keyed on doc id) and intersected per pair with
     array_intersect — no explode, no pair blow-up beyond the candidates.
+
+    ``prefilter`` picks how docs are restricted to candidate ids before
+    the (expensive) shingling stage:
+
+    * ``"semi"`` (default) — exact ``left_semi`` join; shuffles the docs
+      table on id once the id set exceeds the broadcast threshold.
+    * ``"bloom"`` — fixed-size broadcast Bloom bitmap + codegen probe
+      (``functions.bloom``); no shuffle of the docs table regardless of
+      candidate count. False positives only shingle a few extra docs —
+      the exact inner joins below keep the OUTPUT bit-identical to the
+      semi path (pinned in ``tests/test_bloom.py``).
 
     ``checkpoint`` controls how the candidate list (read 3× below) is
     materialized so the upstream blocking derivation never re-executes:
@@ -706,11 +718,16 @@ def jaccard_on_candidates(
         .unionByName(candidates.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
+    if prefilter == "semi":
+        restricted = docs.join(cand_ids, on=id_col, how="left_semi")
+    elif prefilter == "bloom":
+        from ctlp_spark.functions.bloom import bloom_prefilter
+
+        restricted = bloom_prefilter(docs, cand_ids, id_col=id_col)
+    else:
+        raise ValueError(f"unknown prefilter strategy: {prefilter!r}")
     sets = (
-        shingle_rows(
-            docs.join(cand_ids, on=id_col, how="left_semi"),
-            n, id_col, text_col,
-        )
+        shingle_rows(restricted, n, id_col, text_col)
         .groupBy("doc")
         .agg(F.collect_set("sh").alias("sh"))
     )
@@ -747,13 +764,16 @@ def neardup_pipeline(
     id_col: str = "doc_id",
     text_col: str = "text",
     checkpoint: str | None = "local",
+    prefilter: str = "semi",
 ) -> DataFrame:
     """The near-dup SCALE PATH, end to end: MinHash-LSH blocking
     (linear-time, md5-uniform band keys) → exact Jaccard verification on
     candidates only (id-keyed hash joins + array_intersect, no shingle
     self-join). This is the composition that replaces the quadratic
     ``ngram_jaccard_pairs`` at 100 TB; d2 remains a small-SF ground-truth
-    check of the verifier itself."""
+    check of the verifier itself. ``prefilter="bloom"`` swaps the exact
+    candidate-id semi-join for a broadcast Bloom bitmap (see
+    ``jaccard_on_candidates``) — same output, no docs-side shuffle."""
     return jaccard_on_candidates(
         docs,
         lsh_candidate_pairs(docs, n, id_col, text_col),
@@ -762,6 +782,7 @@ def neardup_pipeline(
         id_col=id_col,
         text_col=text_col,
         checkpoint=checkpoint,
+        prefilter=prefilter,
     )
 
 

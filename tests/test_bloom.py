@@ -1,0 +1,94 @@
+"""Bloom pre-pruning: result-identical to the exact semi-join path, no
+false negatives, real pruning, and the plan-shape win (no docs-side
+shuffle for the membership restriction)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ctlp_spark.functions import bloom as B
+from ctlp_spark.functions import dedup as D
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+def test_no_false_negatives(spark):
+    """Every id used to build the bitmap must probe true — Bloom's hard
+    guarantee; a single miss means wrong (missing) verify output."""
+    ids = spark.range(0, 5_000).select(F.col("id").alias("doc_id"))
+    passed = B.bloom_prefilter(ids, ids, m_bits=1 << 16).count()
+    assert passed == 5_000
+
+
+def test_pruning_is_effective(spark):
+    """Probing a much larger id universe must pass the members plus only
+    a small false-positive tail (~1-2 % at ~13 bits/member, k=4)."""
+    universe = spark.range(0, 50_000).select(F.col("id").alias("doc_id"))
+    members = universe.where(F.col("doc_id") % 10 == 0)  # 5,000 ids
+    passed = B.bloom_prefilter(universe, members, m_bits=1 << 16).count()
+    assert passed >= 5_000  # no false negatives
+    assert passed <= 5_000 + 2_000  # FP tail bounded
+
+
+def test_jaccard_bloom_path_equals_semi_path(spark, docs):
+    """The d7 composition must be bit-identical under either prefilter —
+    Bloom false positives are absorbed by the exact inner joins."""
+    cand = D.lsh_candidate_pairs(docs).localCheckpoint()
+    semi = sorted(
+        map(
+            tuple,
+            D.jaccard_on_candidates(
+                docs, cand, threshold_ppm=0, checkpoint=None, prefilter="semi"
+            ).collect(),
+        )
+    )
+    blm = sorted(
+        map(
+            tuple,
+            D.jaccard_on_candidates(
+                docs, cand, threshold_ppm=0, checkpoint=None, prefilter="bloom"
+            ).collect(),
+        )
+    )
+    assert semi == blm
+    assert len(semi) > 0
+
+
+def test_unknown_prefilter_raises(spark, docs):
+    with pytest.raises(ValueError, match="prefilter"):
+        D.jaccard_on_candidates(
+            docs, D.lsh_candidate_pairs(docs), prefilter="nope", checkpoint=None
+        )
+
+
+def test_bloom_plan_has_no_semi_join(spark, docs):
+    """Scale invariant: the bloom path restricts docs with a broadcast
+    one-row bitmap (BroadcastNestedLoopJoin) — NO LeftSemi join (which
+    shuffles the docs table once candidate ids outgrow broadcast)."""
+    cand = D.lsh_candidate_pairs(docs).localCheckpoint()
+    plan_bloom = D.jaccard_on_candidates(
+        docs, cand, checkpoint=None, prefilter="bloom"
+    )._jdf.queryExecution().executedPlan().toString()
+    plan_semi = D.jaccard_on_candidates(
+        docs, cand, checkpoint=None, prefilter="semi"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" not in plan_bloom
+    assert "BroadcastNestedLoopJoin" in plan_bloom
+    assert "LeftSemi" in plan_semi  # the contrast: the exact path keeps one
+
+
+def test_bitmap_is_dense_and_deterministic(spark):
+    """Bitmap layout: exactly m_bits/64 words, stable across builds and
+    partitioning (it is a pure function of the id set)."""
+    ids = spark.range(0, 1_000).select(F.col("id").alias("doc_id"))
+    w1 = B.bloom_bitmap(ids, m_bits=1 << 12).collect()[0]["words"]
+    w2 = B.bloom_bitmap(ids.repartition(7), m_bits=1 << 12).collect()[0]["words"]
+    assert len(w1) == (1 << 12) // 64
+    assert w1 == w2
+    assert any(w != 0 for w in w1)
