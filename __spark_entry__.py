@@ -411,6 +411,25 @@ def q_d9_neardup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.neardup_pipeline(docs, prefilter="bloom")
 
 
+def q_h1_user_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HLL distinct sketch of user_id per event_type
+    (functions/sketch.py): fixed m=4096 integer registers per group, one
+    shuffle with map-side partial max — the mergeable-cardinality shape
+    that replaces exact COUNT(DISTINCT)'s expand shuffle at 10^12 rows.
+    The oracle twin recomputes the full register state (same md5 hex
+    string math) — the sketch is verified bit-for-bit, not approximately."""
+    from ctlp_spark.functions import sketch as SK
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return SK.hll_sketch(events, ["event_type"], "user_id")
+
+
+def _h1_sql() -> str:
+    from ctlp_spark.functions import sketch as SK
+
+    return SK.sql_hll_sketch("events", ["event_type"], "user_id")
+
+
 # ---------------------------------------------------------------------------
 # conversation-level queries (skew-safe aggregation, stable-order windows)
 # ---------------------------------------------------------------------------
@@ -965,6 +984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c7_latency_percentiles": q_c7_latency_percentiles,
         "c8_daily_distinct_convs": q_c8_daily_distinct_convs,
         "c9_context_windows": q_c9_context_windows,
+        "h1_user_sketch": q_h1_user_sketch,
     }
 
 
@@ -1014,4 +1034,5 @@ def oracle_sql() -> dict[str, str]:
         "c7_latency_percentiles": _C7_SQL,
         "c8_daily_distinct_convs": _C8_SQL,
         "c9_context_windows": _c9_sql(),
+        "h1_user_sketch": _h1_sql(),
     }

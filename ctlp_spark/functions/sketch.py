@@ -1,0 +1,168 @@
+"""Deterministic HLL-style distinct sketch — the mergeable-cardinality
+path for 100 TB distinct counts.
+
+Exact ``COUNT(DISTINCT x)`` (c8) pays the expand + two-phase-distinct
+shuffle: every distinct value crosses the wire. At 10^12 rows the right
+tool is a fixed-size mergeable register sketch (HyperLogLog, Flajolet et
+al. 2007): per group, m = 2^p registers each holding the max leading-zero
+rank (rho) ever seen. The shuffle then carries at most m tiny rows per
+group regardless of cardinality, and partial sketches merge by
+element-wise ``max`` — the same algebra Spark's own
+``approx_count_distinct`` (HLL++) uses, re-derived here with a
+DETERMINISTIC engine-independent hash so a DuckDB twin can verify the
+full register state bit-for-bit (Spark's HLL++ binary state is not
+comparable across engines; this one is).
+
+All state is exact integers:
+
+* hash = md5 of the value; register = first p/4 hex chars; the next 12
+  hex chars (48 bits) feed rho.
+* rho = 1 + number of leading zero BITS of the 48-bit suffix (49 if the
+  suffix is all-zero) — computed from the hex STRING (leading '0' chars
+  ×4, plus 0-3 for the first non-zero hex char), identical in Spark and
+  DuckDB, no float log2 anywhere.
+* the driver-comparable aggregate per group: ``nonzero_registers`` and
+  ``s_scaled`` = sum over all m registers of 2^(49 - max_rho) (empty
+  register ⇒ rho 0 ⇒ 2^49). s_scaled <= m * 2^49 <= 2^61 for p <= 12 —
+  fits a BIGINT exactly.
+
+The float HLL estimate (alpha_m * m^2 * 2^49 / s_scaled, with the
+standard linear-counting small-range correction) lives only in the
+Python helper ``hll_estimate`` — oracle outputs stay pure integer
+(memory: driver-oracle-gotchas).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_P = 12  # m = 4096 registers => ~1.6 % standard error
+
+_RMAX = 49  # rho range: 1..49 over a 48-bit suffix; 0 = empty register
+
+
+def _check_p(p: int) -> None:
+    if p not in (4, 8, 12, 16):
+        raise ValueError(f"p must be one of 4/8/12/16 (hex-aligned), got {p}")
+
+
+def _rho_exprs(hex_col: str, p: int) -> tuple[str, str]:
+    """(register_sql, rho_sql) over a 32-char md5 hex column — written in
+    the shared Spark/DuckDB dialect (TRIM(LEADING..) / CASE / length)."""
+    nreg_chars = p // 4
+    sfx = f"substr({hex_col}, {nreg_chars + 1}, 12)"
+    stripped = f"TRIM(LEADING '0' FROM {sfx})"
+    first = f"substr({stripped}, 1, 1)"
+    extra = (
+        f"CASE WHEN {first} = '1' THEN 3 "
+        f"WHEN {first} IN ('2','3') THEN 2 "
+        f"WHEN {first} IN ('4','5','6','7') THEN 1 ELSE 0 END"
+    )
+    rho = (
+        f"CASE WHEN {stripped} = '' THEN {_RMAX} "
+        f"ELSE 4 * (12 - length({stripped})) + {extra} + 1 END"
+    )
+    return f"substr({hex_col}, 1, {nreg_chars})", rho
+
+
+def hll_partials(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    p: int = DEFAULT_P,
+) -> DataFrame:
+    """The mergeable sketch state: one row per (group, register) holding
+    ``max_rho``. Map-side partial max keeps the shuffle at <= m tiny rows
+    per group per task, independent of the value cardinality. Two partial
+    frames over disjoint (or overlapping!) data merge with
+    ``hll_merge`` — union + max, the sketch's whole point at 100 TB."""
+    _check_p(p)
+    with_h = df.select(
+        *group_cols, F.md5(F.col(value_col).cast("string")).alias("_hx")
+    )
+    reg_sql, rho_sql = _rho_exprs("_hx", p)
+    # hex -> int dialects differ: Spark spells it conv(h,16,10), DuckDB
+    # CAST('0x'||h AS BIGINT) — same value (dedup.shingle_hash precedent)
+    return (
+        with_h.select(
+            *group_cols,
+            F.expr(f"CAST(conv({reg_sql}, 16, 10) AS BIGINT)").alias("register"),
+            F.expr(rho_sql).cast("int").alias("rho"),
+        )
+        .groupBy(*group_cols, "register")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_merge(a: DataFrame, b: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge two partial sketches: element-wise register max."""
+    return (
+        a.unionByName(b)
+        .groupBy(*group_cols, "register")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+
+
+def hll_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    p: int = DEFAULT_P,
+) -> DataFrame:
+    """Per-group integer sketch summary: ``(group_cols..., m,
+    nonzero_registers, s_scaled)`` — deterministic, DuckDB-verifiable,
+    and sufficient to compute the HLL estimate (``hll_estimate``)."""
+    _check_p(p)
+    m = 1 << p
+    partials = hll_partials(df, group_cols, value_col, p)
+    return partials.groupBy(*group_cols).agg(
+        F.lit(m).cast("bigint").alias("m"),
+        F.count("*").alias("nonzero_registers"),
+        (
+            F.sum(F.expr(f"CAST(shiftleft(CAST(1 AS BIGINT), {_RMAX} - max_rho) AS BIGINT)"))
+            + (F.lit(m) - F.count("*")) * F.lit(1 << _RMAX).cast("bigint")
+        ).alias("s_scaled"),
+    )
+
+
+def sql_hll_sketch(
+    t: str, group_cols: list[str], value_col: str, p: int = DEFAULT_P
+) -> str:
+    """DuckDB twin of ``hll_sketch`` — same md5/hex-string register and
+    rho math, bit-for-bit (ltrim(s,'0') == TRIM(LEADING '0' FROM s))."""
+    _check_p(p)
+    m = 1 << p
+    grp = ", ".join(group_cols)
+    reg_sql, rho_sql = _rho_exprs("_hx", p)
+    return f"""
+WITH h AS (SELECT {grp}, md5(CAST({value_col} AS VARCHAR)) AS _hx FROM {t}),
+r AS (
+  SELECT {grp},
+         CAST(('0x' || {reg_sql}) AS BIGINT) AS register,
+         CAST({rho_sql} AS INT) AS rho
+  FROM h
+),
+partials AS (
+  SELECT {grp}, register, max(rho) AS max_rho FROM r GROUP BY {grp}, register
+)
+SELECT {grp},
+       CAST({m} AS BIGINT) AS m,
+       count(*) AS nonzero_registers,
+       CAST(sum(CAST(1 AS BIGINT) << ({_RMAX} - max_rho))
+            + ({m} - count(*)) * (CAST(1 AS BIGINT) << {_RMAX}) AS BIGINT) AS s_scaled
+FROM partials GROUP BY {grp}"""
+
+
+def hll_estimate(m: int, nonzero_registers: int, s_scaled: int) -> float:
+    """HLL estimate from the integer sketch summary: alpha_m * m^2 /
+    sum_j 2^-M_j, where sum_j 2^-M_j = s_scaled / 2^49; linear counting
+    below 2.5m when empty registers remain (Flajolet et al. 2007)."""
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m * (1 << _RMAX) / s_scaled
+    zeros = m - nonzero_registers
+    if est <= 2.5 * m and zeros > 0:
+        return m * math.log(m / zeros)
+    return est
