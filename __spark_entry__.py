@@ -867,6 +867,46 @@ def _t7_sql() -> str:
     )
 
 
+_T8_RULES = None  # built lazily (needs functions.redact import)
+
+
+def _t8_rules():
+    from ctlp_spark.functions.redact import RedactionRule
+
+    # corpus-matching rules: the driver corpus is clean word-soup, so the
+    # secret-shaped defaults would never fire (a zero-match query checks
+    # nothing); these patterns really match (pinned in tests/test_redact.py)
+    return [
+        RedactionRule("keyphrase", r"key [a-z]+", "key [MASKED]"),
+        RedactionRule("customer", r"customer", "[CUST]"),
+    ]
+
+
+def q_t8_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex redaction/scrubbing (functions/redact.py): per-rule match
+    counts on the original text + sequentially-masked output, verified
+    via md5 of the redacted string. Pure Catalyst regexp_count /
+    regexp_replace — one codegen span, no shuffle (plan-gated)."""
+    from ctlp_spark.functions.redact import redact
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = redact(docs, rules=_t8_rules())
+    return out.select(
+        "doc_id", "n_keyphrase", "n_customer",
+        F.md5("text_redacted").alias("redacted_md5"),
+    )
+
+
+def _t8_sql() -> str:
+    from ctlp_spark.functions.redact import sql_redact_cols
+
+    cols = sql_redact_cols("text", _t8_rules())
+    return (
+        f"SELECT doc_id, n_keyphrase, n_customer, md5(text_redacted) AS redacted_md5 "
+        f"FROM (SELECT doc_id, {cols} FROM documents)"
+    )
+
+
 def q_c9_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation context packing: each turn assigned to the
     ~256-token training window its first token falls into, under the
@@ -956,6 +996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t5_stratified_sample": q_t5_stratified_sample,
         "t6_token_shards": q_t6_token_shards,
         "t7_source_epochs": q_t7_source_epochs,
+        "t8_redaction": q_t8_redaction,
         "d1_exact_dedup": q_d1_exact_dedup,
         "d2_ngram_jaccard": q_d2_ngram_jaccard,
         "d3_minhash_signatures": q_d3_minhash_signatures,
@@ -1004,6 +1045,7 @@ def oracle_sql() -> dict[str, str]:
         "t5_stratified_sample": _t5_sql(),
         "t6_token_shards": _t6_sql(),
         "t7_source_epochs": _t7_sql(),
+        "t8_redaction": _t8_sql(),
         "d1_exact_dedup": _dedup_sql("exact"),
         "d2_ngram_jaccard": _dedup_sql("jaccard"),
         "d3_minhash_signatures": _dedup_sql("minhash"),

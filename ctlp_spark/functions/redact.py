@@ -1,0 +1,121 @@
+"""Regex redaction/scrubbing — mask sensitive substrings in text before
+it leaves the pipeline (training-data export, dropped-event archives).
+
+The reference's rule engine DROPS whole records by regex
+(pkg/rules/rules.go); a training-data pipeline also needs the in-place
+variant: keep the record, mask the matching spans. Same dialect
+contract as the rule engine — every pattern must pass
+``rules.validate_pattern`` (RE2-safe subset, SURVEY.md §4.4) so Spark's
+Java regex, Arrow's RE2, and DuckDB's RE2 agree on the matches.
+
+Semantics (pinned cross-engine in ``tests/test_redact.py``):
+
+* per-rule match COUNTS are measured on the ORIGINAL text
+  (``regexp_count`` / ``len(regexp_extract_all)``) — order-independent
+  and twin-exact;
+* the redacted text applies the replacements SEQUENTIALLY in rule
+  order (Spark ``regexp_replace`` replaces all matches; the DuckDB twin
+  needs the explicit ``'g'`` flag — a documented dialect trap).
+
+Everything is pure Catalyst string expressions — one codegen span, no
+UDFs, trivially scan-parallel at 100 TB.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ctlp_spark.rules import validate_pattern
+
+
+@dataclass(frozen=True)
+class RedactionRule:
+    name: str  # column-suffix-safe identifier
+    pattern: str  # RE2-safe regex (validate_pattern-checked)
+    replacement: str  # literal replacement text
+
+
+#: Secret-shaped defaults for real log corpora. The driver corpus is
+#: clean synthetic word-soup, so the driver query (t8) instantiates
+#: corpus-matching rules instead; these defaults are exercised on
+#: injected rows in tests/test_redact.py.
+DEFAULT_SECRET_RULES = [
+    RedactionRule("aws_key", r"AKIA[0-9A-Z]{16}", "[REDACTED:aws_key]"),
+    RedactionRule("bearer", r"Bearer [A-Za-z0-9._-]{8,}", "[REDACTED:bearer]"),
+    RedactionRule(
+        "email",
+        r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+",
+        "[REDACTED:email]",
+    ),
+    RedactionRule(
+        "ipv4",
+        r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+        "[REDACTED:ipv4]",
+    ),
+]
+
+
+def _validate(rules: list[RedactionRule]) -> None:
+    seen: set[str] = set()
+    for r in rules:
+        if not r.name.isidentifier():
+            raise ValueError(f"redaction rule name {r.name!r} is not an identifier")
+        if r.name in seen:
+            raise ValueError(f"duplicate redaction rule name {r.name!r}")
+        seen.add(r.name)
+        validate_pattern(r.pattern, where=f"redaction rule {r.name!r}")
+        if "'" in r.pattern or "'" in r.replacement:
+            # patterns/replacements are embedded into the single-quoted
+            # DuckDB twin SQL verbatim
+            raise ValueError(f"redaction rule {r.name!r}: single quote unsupported")
+        if "\\" in r.replacement or "$" in r.replacement:
+            # Java regexp_replace treats $N/\ in the replacement as group
+            # references; DuckDB likewise. Literal-only keeps the twin exact.
+            raise ValueError(
+                f"redaction rule {r.name!r}: replacement must be literal "
+                "(no backslash or $)"
+            )
+
+
+def redact(
+    df: DataFrame,
+    text_col: str = "text",
+    rules: list[RedactionRule] | None = None,
+    out_col: str = "text_redacted",
+) -> DataFrame:
+    """Add per-rule match-count columns ``n_<name>`` (counted on the
+    original text) and ``out_col`` with all rules' spans replaced in rule
+    order."""
+    rules = DEFAULT_SECRET_RULES if rules is None else rules
+    _validate(rules)
+    counts = {
+        f"n_{r.name}": F.regexp_count(F.col(text_col), F.lit(r.pattern)).cast("bigint")
+        for r in rules
+    }
+    redacted: Column = F.col(text_col)
+    for r in rules:
+        redacted = F.regexp_replace(redacted, r.pattern, r.replacement)
+    return df.withColumns({**counts, out_col: redacted})
+
+
+def sql_redact_cols(
+    text_col: str, rules: list[RedactionRule] | None = None, out_col: str = "text_redacted"
+) -> str:
+    """DuckDB column list fragment matching ``redact`` — append to a
+    SELECT over the same table. Note the explicit ``'g'`` flag: DuckDB's
+    regexp_replace is single-match by default, Spark's is global."""
+    rules = DEFAULT_SECRET_RULES if rules is None else rules
+    _validate(rules)
+    parts = [
+        f"CAST(len(regexp_extract_all({text_col}, '{r.pattern}')) AS BIGINT)"
+        f" AS n_{r.name}"
+        for r in rules
+    ]
+    expr = text_col
+    for r in rules:
+        expr = f"regexp_replace({expr}, '{r.pattern}', '{r.replacement}', 'g')"
+    parts.append(f"{expr} AS {out_col}")
+    return ", ".join(parts)
