@@ -87,6 +87,21 @@ def append_transcripts(df: DataFrame, table: str) -> None:
     df.writeTo(table).append()
 
 
+def overwrite_partitions(df: DataFrame, table: str) -> None:
+    """Exactly-once REPLAY at the write level: dynamic partition
+    overwrite — one atomic snapshot commit that replaces exactly the
+    partitions present in ``df`` (for the transcript table: the days(ts)
+    × bucket(conv_id) partitions the batch touches) and leaves every
+    other partition untouched. Re-running a failed/replayed day job is
+    therefore idempotent by construction — the Iceberg-native analogue of
+    the ``snap={id}`` idempotent output directories the parquet stand-in
+    uses (streaming/stream.py, run_resumable_snapshots below). Unlike
+    Hive-style INSERT OVERWRITE, readers never observe the table without
+    the partition: the commit is a single metadata swap."""
+    _require(df.sparkSession)
+    df.writeTo(table).overwritePartitions()
+
+
 def snapshots(spark: SparkSession, table: str) -> DataFrame:
     """The table's commit log (snapshot_id, committed_at, operation, ...)."""
     _require(spark)

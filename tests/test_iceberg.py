@@ -97,6 +97,29 @@ def test_snapshot_resume_processes_only_new_commits(iceberg_spark, tmp_path):
     assert r2 is not None and r2.total == 200
 
 
+def test_overwrite_partitions_replay_is_idempotent(iceberg_spark, tmp_path):
+    """Replaying the same batch through overwrite_partitions must leave
+    the table exactly as after the first run (no duplicate rows) — the
+    exactly-once write contract for day-job replays."""
+    table = "local.db.transcripts_c"
+    I.ensure_transcript_table(iceberg_spark, table)
+    pdf = gen_transcripts(400, seed=5)
+    df = iceberg_spark.createDataFrame(pdf)
+    I.overwrite_partitions(df, table)
+    n1 = iceberg_spark.read.format("iceberg").load(table).count()
+    I.overwrite_partitions(df, table)  # replay
+    n2 = iceberg_spark.read.format("iceberg").load(table).count()
+    assert n1 == n2 == 400
+
+
+def test_overwrite_partitions_gate_raises_without_jar(spark):
+    if iceberg_available(spark):
+        pytest.skip("jar present; gate not exercisable")
+    df = spark.range(1)
+    with pytest.raises(RuntimeError, match="Iceberg runtime jar"):
+        I.overwrite_partitions(df, "local.db.t")
+
+
 def test_transcript_table_ddl_string():
     """Driver-free DDL surface check (no runtime jar needed): the exact
     input_hint column set and the days(ts)+bucket(conv_id) partition spec
