@@ -430,6 +430,23 @@ def _h1_sql() -> str:
     return SK.sql_hll_sketch("events", ["event_type"], "user_id")
 
 
+def q_h2_cms_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch of user_id over events: fixed 4×1024
+    integer counter table, one shuffle with map-side partial sum, merge =
+    add — the frequency twin of h1's cardinality sketch. The oracle
+    recomputes every counter (same md5 double-hash buckets) exactly."""
+    from ctlp_spark.functions import sketch as SK
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return SK.cms_counters(events, "user_id")
+
+
+def _h2_sql() -> str:
+    from ctlp_spark.functions import sketch as SK
+
+    return SK.sql_cms_counters("events", "user_id")
+
+
 # ---------------------------------------------------------------------------
 # conversation-level queries (skew-safe aggregation, stable-order windows)
 # ---------------------------------------------------------------------------
@@ -1026,6 +1043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c8_daily_distinct_convs": q_c8_daily_distinct_convs,
         "c9_context_windows": q_c9_context_windows,
         "h1_user_sketch": q_h1_user_sketch,
+        "h2_cms_counters": q_h2_cms_counters,
     }
 
 
@@ -1077,4 +1095,5 @@ def oracle_sql() -> dict[str, str]:
         "c8_daily_distinct_convs": _C8_SQL,
         "c9_context_windows": _c9_sql(),
         "h1_user_sketch": _h1_sql(),
+        "h2_cms_counters": _h2_sql(),
     }

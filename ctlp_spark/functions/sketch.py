@@ -156,6 +156,103 @@ SELECT {grp},
 FROM partials GROUP BY {grp}"""
 
 
+DEFAULT_CMS_W = 1024  # buckets per row: eps = e/w ~ 0.27 % of total mass
+DEFAULT_CMS_D = 4  # rows: overestimate prob per query ~ e^-d ~ 1.8 %
+
+
+def _check_cms(w: int, d: int) -> None:
+    if w < 16 or (w & (w - 1)) != 0:
+        raise ValueError(f"w must be a power of two >= 16, got {w}")
+    if not (1 <= d <= 16):
+        raise ValueError(f"d must be in [1, 16], got {d}")
+
+
+def _cms_positions_sql(w: int, d: int) -> str:
+    """Shared-dialect bucket expression over columns (_h1,_h2,i) —
+    Kirsch-Mitzenmacher double hashing, as in functions/bloom.py."""
+    return f"(_h1 + i * (2 * _h2 + 1)) % {w}"
+
+
+def cms_counters(
+    df: DataFrame,
+    value_col: str,
+    w: int = DEFAULT_CMS_W,
+    d: int = DEFAULT_CMS_D,
+) -> DataFrame:
+    """Count-Min sketch counter table ``(depth, bucket, cnt)`` (Cormode &
+    Muthukrishnan 2005) — the mergeable FREQUENCY twin of the HLL
+    cardinality sketch above: fixed d×w integer counters, one shuffle
+    with map-side partial sum (<= d·w tiny rows on the wire per task,
+    independent of cardinality), merge = element-wise ADD (``cms_merge``).
+    Zero buckets are omitted (sparse); estimates via ``cms_estimate``
+    carry the classic one-sided guarantee est >= true. Deterministic
+    md5-double-hash buckets, so the DuckDB twin verifies the full counter
+    table exactly."""
+    _check_cms(w, d)
+    h1 = F.conv(F.substring(F.md5(F.col(value_col).cast("string")), 1, 8), 16, 10).cast("bigint")
+    h2 = F.conv(F.substring(F.md5(F.col(value_col).cast("string")), 9, 8), 16, 10).cast("bigint")
+    hashed = df.select(h1.alias("_h1"), h2.alias("_h2"))
+    exploded = hashed.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("depth"),
+                    ((F.col("_h1") + F.lit(i) * (F.col("_h2") * 2 + 1)) % w).alias("bucket"),
+                )
+                for i in range(d)
+            ])
+        ).alias("e")
+    )
+    return (
+        exploded.select("e.depth", "e.bucket")
+        .groupBy("depth", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two counter tables: element-wise add."""
+    return (
+        a.unionByName(b).groupBy("depth", "bucket").agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def sql_cms_counters(
+    t: str, value_col: str, w: int = DEFAULT_CMS_W, d: int = DEFAULT_CMS_D
+) -> str:
+    """DuckDB twin of ``cms_counters`` (same md5 halves and double-hash
+    stride; depth unrolled with generate_series)."""
+    _check_cms(w, d)
+    return f"""
+WITH h AS (
+  SELECT CAST(('0x' || substr(md5(CAST({value_col} AS VARCHAR)), 1, 8)) AS BIGINT) AS _h1,
+         CAST(('0x' || substr(md5(CAST({value_col} AS VARCHAR)), 9, 8)) AS BIGINT) AS _h2
+  FROM {t}
+),
+e AS (
+  SELECT CAST(i AS INT) AS depth, {_cms_positions_sql(w, d)} AS bucket
+  FROM h, generate_series(0, {d - 1}) AS g(i)
+)
+SELECT depth, bucket, count(*) AS cnt FROM e GROUP BY depth, bucket"""
+
+
+def cms_estimate(
+    counters: dict[tuple[int, int], int],
+    value: str,
+    w: int = DEFAULT_CMS_W,
+    d: int = DEFAULT_CMS_D,
+) -> int:
+    """Point-frequency estimate: min over rows of the value's counter.
+    ``counters`` maps (depth, bucket) -> cnt (absent = 0)."""
+    import hashlib
+
+    hx = hashlib.md5(str(value).encode()).hexdigest()
+    h1, h2 = int(hx[:8], 16), int(hx[8:16], 16)
+    return min(
+        counters.get((i, (h1 + i * (2 * h2 + 1)) % w), 0) for i in range(d)
+    )
+
+
 def hll_estimate(m: int, nonzero_registers: int, s_scaled: int) -> float:
     """HLL estimate from the integer sketch summary: alpha_m * m^2 /
     sum_j 2^-M_j, where sum_j 2^-M_j = s_scaled / 2^49; linear counting

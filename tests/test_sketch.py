@@ -99,3 +99,58 @@ def test_bad_p_raises(spark):
     df = spark.range(5).select(F.col("id").alias("v"))
     with pytest.raises(ValueError, match="p must be"):
         SK.hll_partials(df, [], "v", p=10)
+    with pytest.raises(ValueError, match="w must be"):
+        SK.cms_counters(df, "v", w=1000)
+
+
+# ----- Count-Min frequency sketch ----------------------------------------
+
+
+def test_cms_matches_duckdb_twin(spark):
+    df = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    got = sorted(map(tuple, SK.cms_counters(df, "user_id").collect()))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM '/root/testdata/sf0.01/events.parquet'"
+    )
+    want = sorted(con.sql(SK.sql_cms_counters("events", "user_id")).fetchall())
+    assert got == want
+    assert len(got) > 0
+
+
+def test_cms_one_sided_estimates(spark):
+    """est >= true for every key (CMS hard guarantee), and with w >>
+    cardinality the total overestimate mass is tiny. Deterministic hash
+    => this is a pinned check, not a probabilistic one."""
+    df = spark.range(0, 10_000).select((F.col("id") % 37).alias("v"))
+    counters = {
+        (r.depth, r.bucket): r.cnt for r in SK.cms_counters(df, "v").collect()
+    }
+    exact = {v: len(range(v, 10_000, 37)) for v in range(37)}
+    total_err = 0
+    for v, true_cnt in exact.items():
+        est = SK.cms_estimate(counters, str(v))
+        assert est >= true_cnt, (v, est, true_cnt)
+        total_err += est - true_cnt
+    assert total_err <= 0.05 * 10_000
+
+
+def test_cms_merge_of_halves_equals_whole(spark):
+    df = spark.range(0, 40_000).select((F.col("id") % 500).alias("v"))
+    a = SK.cms_counters(df.where("id < 25000"), "v")
+    b = SK.cms_counters(df.where("id >= 25000"), "v")
+    merged = sorted(map(tuple, SK.cms_merge(a, b).collect()))
+    whole = sorted(map(tuple, SK.cms_counters(df, "v").collect()))
+    assert merged == whole
+
+
+def test_cms_plan_is_single_exchange_with_partial_agg(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = (
+        SK.cms_counters(df, "user_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+    assert "partial_count" in plan or "HashAggregate" in plan
