@@ -411,6 +411,42 @@ def q_d9_neardup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.neardup_pipeline(docs, prefilter="bloom")
 
 
+_C10_GAP_US = 8 * 3600 * 1_000_000  # 8h: median per-user delta ~7.3h => real splits
+
+
+def q_c10_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window (streaming/stream.session_window_stats, run
+    in batch mode — the same operator serves both) sessionizing events
+    per user with an 8h gap. Twin = lag + cumulative-split-sum + group:
+    pins that the engine's dynamic gap windows split exactly on
+    delta > gap with end = last_ts + gap."""
+    from ctlp_spark.streaming.stream import session_window_stats
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return session_window_stats(events, gap="8 hours", key_col="user_id")
+
+
+_C10_SQL = f"""
+WITH o AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         sum(CASE WHEN prev_ts IS NULL
+                  OR epoch_us(ts) - epoch_us(prev_ts) > {_C10_GAP_US}
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id,
+       epoch_us(min(ts)) AS s_start_us,
+       epoch_us(max(ts)) + {_C10_GAP_US} AS s_end_us,
+       count(*) AS n_turns
+FROM s GROUP BY user_id, sid"""
+
+
 def q_h1_user_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic HLL distinct sketch of user_id per event_type
     (functions/sketch.py): fixed m=4096 integer registers per group, one
@@ -1042,6 +1078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c7_latency_percentiles": q_c7_latency_percentiles,
         "c8_daily_distinct_convs": q_c8_daily_distinct_convs,
         "c9_context_windows": q_c9_context_windows,
+        "c10_session_windows": q_c10_session_windows,
         "h1_user_sketch": q_h1_user_sketch,
         "h2_cms_counters": q_h2_cms_counters,
     }
@@ -1094,6 +1131,7 @@ def oracle_sql() -> dict[str, str]:
         "c7_latency_percentiles": _C7_SQL,
         "c8_daily_distinct_convs": _C8_SQL,
         "c9_context_windows": _c9_sql(),
+        "c10_session_windows": _C10_SQL,
         "h1_user_sketch": _h1_sql(),
         "h2_cms_counters": _h2_sql(),
     }

@@ -143,6 +143,43 @@ CONV_OUT_SCHEMA = (
 )
 
 
+def session_window_stats(
+    stream_df: DataFrame,
+    gap: str = "5 minutes",
+    watermark: str = "10 minutes",
+    key_col: str = "conv_id",
+) -> DataFrame:
+    """Event-time gap sessions per conversation via the engine's native
+    ``session_window`` — the STREAMING twin of the batch ``sessionize``
+    operator (operators/conversation.py, c3): dynamic windows that merge
+    while consecutive turns arrive within ``gap`` and close ``gap`` after
+    the last turn; the watermark finalizes (and append-mode emits) a
+    session once event time passes its end, bounding state.
+
+    Boundary semantics: sessions merge while the gap to the previous
+    turn is <= ``gap`` (the window end is INCLUSIVE for the merge test),
+    i.e. a new session starts only when delta > gap — exactly the batch
+    ``sessionize`` split rule, pinned in tests/test_streaming.py against
+    an independent reference including the delta == gap boundary.
+
+    Scale note: state is per (conv_id, open session) and sessions close
+    ``gap`` behind the watermark, so state size is bounded by active
+    conversations, not history — the property that lets this run forever
+    on the full stream."""
+    src = stream_df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        src.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), F.col(key_col))
+        .agg(F.count("*").alias("n_turns"))
+        .select(
+            key_col,
+            F.unix_micros(F.col("sw.start")).alias("s_start_us"),
+            F.unix_micros(F.col("sw.end")).alias("s_end_us"),
+            "n_turns",
+        )
+    )
+
+
 def stateful_conversation_stats(stream_df: DataFrame) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): running
     per-conversation counters maintained across micro-batches.

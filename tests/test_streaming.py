@@ -12,6 +12,7 @@ from ctlp_spark.operators.pipeline import MATCHED_RULE_COL
 from ctlp_spark.streaming.stream import (
     read_transcript_stream,
     run_stream_pipeline,
+    session_window_stats,
     windowed_rule_counts,
 )
 
@@ -248,3 +249,72 @@ def test_stateful_conversation_stats(spark, stream_src, tmp_path):
         .collect()
     }
     assert got == exp
+
+
+def test_session_window_batch_semantics(spark):
+    """session_window (run in batch mode) against an independent Python
+    reference: sessions split only when the gap to the previous turn is
+    STRICTLY greater than ``gap`` (delta == gap still merges — same rule
+    as batch sessionize); session end = last_ts + gap."""
+    import datetime as dt
+
+    base = dt.datetime(2026, 1, 1)
+    rows = []
+    # conv A: turns at 0s, 100s, 401s — delta 301 > 300 splits
+    for off in (0, 100, 401):
+        rows.append(("A", off, base + dt.timedelta(seconds=off)))
+    # conv B: single turn; conv C: all within gap
+    rows.append(("B", 0, base))
+    for off in (0, 50, 200, 499):
+        rows.append(("C", off, base + dt.timedelta(seconds=off)))
+    # conv D: delta exactly == gap merges (inclusive boundary)
+    for off in (0, 300):
+        rows.append(("D", off, base + dt.timedelta(seconds=off)))
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, ts timestamp")
+    got = {
+        (r.conv_id, r.s_start_us, r.s_end_us): r.n_turns
+        for r in session_window_stats(df, gap="300 seconds").collect()
+    }
+
+    def us(seconds):
+        return int((base + dt.timedelta(seconds=seconds)).timestamp() * 1_000_000)
+
+    # independent reference: split on delta > 300
+    want = {
+        ("A", us(0), us(100 + 300)): 2,
+        ("A", us(401), us(401 + 300)): 1,
+        ("B", us(0), us(0 + 300)): 1,
+        ("C", us(0), us(499 + 300)): 4,
+        ("D", us(0), us(300 + 300)): 2,
+    }
+    assert got == want
+
+
+def test_session_window_streaming_matches_batch(spark, stream_src, tmp_path):
+    """Streaming session windows (availableNow, append mode) must emit a
+    subset of the batch-mode result — identical rows for every session the
+    watermark closed, nothing fabricated."""
+    out = str(tmp_path / "sess_out")
+    q = (
+        session_window_stats(
+            read_transcript_stream(spark, stream_src), gap="300 seconds"
+        )
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = set(map(tuple, spark.read.parquet(out).collect()))
+    batch = set(
+        map(
+            tuple,
+            session_window_stats(
+                spark.read.parquet(stream_src), gap="300 seconds"
+            ).collect(),
+        )
+    )
+    assert emitted <= batch
+    assert len(batch) > 0
