@@ -304,14 +304,17 @@ def main() -> None:
         if n * 4 in med:
             eff = thr[n * 4] / (4.0 * thr[n])
             host_eff = ceiling[n] / (4.0 * ceiling[n * 4])
+            # abbreviated keys: the driver captures only the LAST 2000
+            # chars of stdout, and the queries map now has 50+ entries —
+            # every byte here is headroom for that window
             pairs.append({
                 "n": n,
                 "n4": n * 4,
-                "tps_n": thr[n],
-                "tps_4n": thr[n * 4],
-                "efficiency": round(eff, 3),
-                "host_ceiling_efficiency": round(host_eff, 3),
-                "efficiency_vs_host_ceiling": round(min(eff / host_eff, 1.5), 3),
+                "tps_n": int(thr[n]),
+                "tps_4n": int(thr[n * 4]),
+                "eff": round(eff, 3),
+                "eff_host": round(host_eff, 3),
+                "eff_vs_host": round(min(eff / host_eff, 1.5), 3),
             })
             sys.stderr.write(
                 f"raw_sec {n}c={samples[n]} {n*4}c={samples[n*4]}\n"
@@ -329,6 +332,9 @@ def main() -> None:
     if last[CPUS].get("pandas_pipeline_sec") is not None:
         queries["pipeline_pandas_full"] = last[CPUS]["pandas_pipeline_sec"]
 
+    # 2-decimal query times: same 2000-char-window economy (each entry
+    # saves a byte; 10 ms resolution is below this host's JVM noise)
+    queries = {k: round(v, 2) for k, v in queries.items()}
     print(json.dumps({
         "metric": "filter_enrich_route_pipeline_sec",
         "value": big["pipeline_sec"],
@@ -340,10 +346,8 @@ def main() -> None:
         # primary = the smallest 4x pair (the scaling-evidence headline);
         # "pairs" holds every pair once — no duplicated copy of pair #0
         "scaling": {
-            "efficiency": primary.get("efficiency"),
-            "efficiency_vs_host_ceiling": primary.get(
-                "efficiency_vs_host_ceiling"
-            ),
+            "efficiency": primary.get("eff"),
+            "efficiency_vs_host_ceiling": primary.get("eff_vs_host"),
             "pairs": pairs,
         },
     }))
