@@ -151,3 +151,15 @@ def test_salted_repartition_spreads_hot_conversation(spark, transcripts):
         .count()
     )
     assert parts > 1, f"hot conversation ({hot['count']} turns) not spread"
+
+
+def test_session_window_single_exchange(spark):
+    """Session windows (c10) must be one hash shuffle on the session key
+    with in-partition window merging — no extra sort-exchange, no
+    Cartesian (the dynamic-gap merge is local after the key exchange)."""
+    from ctlp_spark.streaming.stream import session_window_stats
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = _plan(session_window_stats(events, gap="8 hours", key_col="user_id"))
+    assert plan.count("Exchange") == 1, plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan

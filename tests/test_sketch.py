@@ -103,6 +103,58 @@ def test_bad_p_raises(spark):
         SK.cms_counters(df, "v", w=1000)
 
 
+def test_streaming_partials_merge_to_batch_sketch(spark, tmp_path):
+    """The 100 TB streaming story: per-micro-batch HLL partials appended
+    to a state table, then merged register-wise, must equal the batch
+    sketch over all the data — replay-safe because merge is idempotent
+    over overlapping inputs (see test_merge_of_halves_equals_whole)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    full = spark.range(0, 30_000).select(
+        (F.col("id") % 5).cast("string").alias("g"), (F.col("id") % 7_000).alias("v")
+    )
+    # the file stream source wants flat FILES (not Spark output dirs)
+    pdf = full.toPandas()
+    pq.write_table(pa.Table.from_pandas(pdf.iloc[:15_000]), f"{src}/f0.parquet")
+    pq.write_table(pa.Table.from_pandas(pdf.iloc[15_000:]), f"{src}/f1.parquet")
+
+    state_dir = str(tmp_path / "state")
+
+    def upd(batch_df, batch_id):
+        SK.hll_partials(batch_df, ["g"], "v").write.mode("overwrite").parquet(
+            f"{state_dir}/batch={batch_id}"
+        )
+
+    q = (
+        spark.readStream.schema("g string, v bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(upd)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    merged = sorted(
+        map(
+            tuple,
+            spark.read.parquet(state_dir)
+            .groupBy("g", "register")
+            .agg(F.max("max_rho").alias("max_rho"))
+            .select("g", "register", "max_rho")
+            .collect(),
+        )
+    )
+    batch = sorted(map(tuple, SK.hll_partials(full, ["g"], "v").collect()))
+    assert merged == batch
+
+
 # ----- Count-Min frequency sketch ----------------------------------------
 
 
