@@ -989,6 +989,19 @@ def q_s7_quantize_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.quantize_digest(emb)
 
 
+def q_s8_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-centroid IVF: deterministic integer k-means (2 Lloyd
+    rounds, md5-seeded, fixed-point quantized) assigning every vector a
+    cell + exact integer squared L2 — the scale path when no precomputed
+    label partition exists (s2's cell is the label column; this LEARNS
+    one). Fully integer => the oracle unrolls the identical rounds as
+    CTEs and every (cell, dist) matches bit-for-bit."""
+    from ctlp_spark.functions import ann as A
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return A.kmeans_ivf(emb)
+
+
 def _m_sql(kind: str) -> str:
     from ctlp_spark.functions import multimodal as M
 
@@ -1009,6 +1022,7 @@ def _ann_sql(kind: str) -> str:
         "neardup": A.sql_embedding_neardup_pairs(),
         "multiprobe": A.sql_multiprobe_candidates(n_queries=10),
         "quantize": A.sql_quantize_digest(),
+        "kmeans": A.sql_kmeans_ivf(),
     }[kind]
 
 
@@ -1066,6 +1080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s5_embed_neardup": q_s5_embed_neardup,
         "s6_multiprobe_candidates": q_s6_multiprobe_candidates,
         "s7_quantize_digest": q_s7_quantize_digest,
+        "s8_kmeans_cells": q_s8_kmeans_cells,
         "m1_media_metadata": q_m1_media_metadata,
         "m2_decode_media": q_m2_decode_media,
         "m3_frame_sample": q_m3_frame_sample,
@@ -1119,6 +1134,7 @@ def oracle_sql() -> dict[str, str]:
         "s5_embed_neardup": _ann_sql("neardup"),
         "s6_multiprobe_candidates": _ann_sql("multiprobe"),
         "s7_quantize_digest": _ann_sql("quantize"),
+        "s8_kmeans_cells": _ann_sql("kmeans"),
         "m1_media_metadata": _M1_SQL,
         "m2_decode_media": _m_sql("decode"),
         "m3_frame_sample": _m_sql("frames"),

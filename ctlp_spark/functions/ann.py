@@ -722,3 +722,186 @@ SELECT vec_id, label, amax_ppm,
        CAST(list_min(qvals) AS BIGINT) AS q_min,
        CAST(list_max(qvals) AS BIGINT) AS q_max
 FROM q"""
+
+
+# ---------------------------------------------------------------------------
+# learned-centroid IVF: integer k-means (Lloyd, unrolled)
+# ---------------------------------------------------------------------------
+
+KM_K = 16
+KM_ITERS = 2
+KM_SCALE = 1024  # power of two => x*KM_SCALE is exact in float32/float64
+KM_SHIFT = 2048  # |x| < 2 contract keeps q in [0, 4096): all sums non-
+#                  negative, so truncating (Spark div) and floor division
+#                  agree and no engine-specific negative-division trap
+
+
+def _km_quant_col():
+    """floor(x·1024) + 2048 per element — EXACT in both engines: the
+    power-of-two multiply only shifts the float exponent, floor and the
+    integer shift are exact. Shared-dialect expression (Spark transform /
+    DuckDB list_transform both spell it `x -> ...`), but evaluated via
+    Arrow on the Spark side (the HOF lambda would hit the interpreted
+    path per element, CLAUDE.md)."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def quant(s: pd.Series) -> pd.Series:
+        out = []
+        for v in s:
+            a = np.asarray(v, dtype=np.float64)
+            if np.any(np.abs(a) >= 2.0):
+                raise ValueError("kmeans_ivf quantization contract: |x| < 2")
+            out.append(
+                (np.floor(a * KM_SCALE).astype(np.int64) + KM_SHIFT).tolist()
+            )
+        return pd.Series(out)
+
+    return quant
+
+
+def _km_assign_udf(centroids: np.ndarray):
+    """Assignment kernel: nearest centroid by squared L2 over the integer
+    quants. ALL-INTEGER arithmetic (int64 |q|² + |c|² - 2 q·C — numpy
+    integer matmul, no BLAS float path), so there is no fold-order or
+    last-ulp concern anywhere (the CLAUDE.md no-matmul rule is a FLOAT
+    rule); ties broken toward the smallest cell id (argmin first-hit,
+    centroids ordered by cell)."""
+    C = centroids.astype(np.int64)  # (k, d)
+    c_sq = (C * C).sum(axis=1)  # (k,)
+
+    @F.pandas_udf("struct<cell: int, dist: bigint>")
+    def assign(qs: pd.Series) -> pd.DataFrame:
+        Q = np.stack([np.asarray(v, dtype=np.int64) for v in qs])  # (n, d)
+        d2 = (Q * Q).sum(axis=1, keepdims=True) + c_sq[None, :] - 2 * (Q @ C.T)
+        cell = d2.argmin(axis=1)
+        return pd.DataFrame(
+            {"cell": cell.astype(np.int32), "dist": d2[np.arange(len(Q)), cell]}
+        )
+
+    return assign
+
+
+def kmeans_ivf(
+    emb: DataFrame,
+    k: int = KM_K,
+    iters: int = KM_ITERS,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Learned-centroid IVF assignment: deterministic integer k-means
+    (Lloyd, ``iters`` unrolled rounds) over fixed-point quantized vectors
+    — the scale path when no precomputed partition label exists (s2 uses
+    ``label`` as its cell; this op LEARNS the cells).
+
+    Exactly reproducible across engines and partitionings:
+
+    * quantization q = floor(x·1024) + 2048 (exact, see _km_quant_col);
+    * seeds = the k vectors with smallest md5(vec_id) (uniform, data-
+      independent, deterministic);
+    * assignment = integer argmin of squared L2, ties to the lowest cell;
+    * update = element-wise integer mean (floor), computed DISTRIBUTED:
+      posexplode → groupBy(cell, dim) with map-side partial sums — ≤ k·d
+      tiny rows reach the driver per round (the model, O(k·d), the same
+      driver-sync any distributed Lloyd iteration needs — Spark MLlib's
+      KMeans does the identical collect); a cell that loses all members
+      keeps its previous centroid.
+
+    Returns (id_col, cell, dist) — dist the exact integer squared L2 to
+    the final centroid. DuckDB twin: sql_kmeans_ivf (same math unrolled
+    as CTEs)."""
+    from ctlp_spark.functions.dedup import _CACHED_FRAMES
+
+    quant = emb.select(id_col, _km_quant_col()(F.col("embedding")).alias("q"))
+    # the quant plan is re-executed once per round + final assignment;
+    # cache it (tiny: n × d ints) so the Arrow quant pass runs once.
+    # Registered with the shared release_caches() registry (long sessions).
+    quant = quant.cache()
+    _CACHED_FRAMES.append(quant)
+
+    seeds = (
+        quant.withColumn("_h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("_h")
+        .limit(k)
+        .select("q")
+        .collect()
+    )
+    C = np.array([r.q for r in seeds], dtype=np.int64)
+
+    for _ in range(iters):
+        assigned = quant.select(
+            id_col, "q", _km_assign_udf(C)(F.col("q")).alias("a")
+        ).select(id_col, "q", "a.cell")
+        agg = (
+            assigned.select("cell", F.posexplode("q").alias("j", "val"))
+            .groupBy("cell", "j")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        newC = C.copy()  # empty cell => keep previous centroid
+        for r in agg:
+            newC[r.cell, r.j] = r.s // r.n
+        C = newC
+
+    out = quant.select(
+        id_col, _km_assign_udf(C)(F.col("q")).alias("a")
+    ).select(id_col, "a.cell", "a.dist")
+    return out
+
+
+def sql_kmeans_ivf(
+    t: str = "embeddings",
+    k: int = KM_K,
+    iters: int = KM_ITERS,
+    dim: int = DIM,
+) -> str:
+    """DuckDB twin of kmeans_ivf: the same quantization, seeding, and
+    ``iters`` Lloyd rounds unrolled as CTEs. Exact integer math end to
+    end, so list-lambda evaluation order is irrelevant."""
+    quant = (
+        f"list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * "
+        f"{KM_SCALE}) AS BIGINT) + {KM_SHIFT})"
+    )
+    dist = (
+        f"list_sum(list_transform(generate_series(1, {dim}), "
+        f"j -> (q.q[j] - c.c[j]) * (q.q[j] - c.c[j])))"
+    )
+    parts = [
+        f"q AS (SELECT vec_id, {quant} AS q FROM {t})",
+        f"""c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
+         AS INT) AS cell, q AS c
+  FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {k}
+)""",
+    ]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        parts.append(f"""a{i} AS (
+  SELECT vec_id, cell FROM (
+    SELECT q.vec_id, c.cell,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {dist}, c.cell) AS rn
+    FROM q CROSS JOIN {prev} c)
+  WHERE rn = 1
+)""")
+        parts.append(f"""s{i} AS (
+  SELECT a.cell, u.j, sum(q.q[u.j]) AS s, count(*) AS n
+  FROM a{i} a JOIN q USING (vec_id),
+       unnest(generate_series(1, {dim})) AS u(j)
+  GROUP BY a.cell, u.j
+)""")
+        parts.append(f"""c{i} AS (
+  SELECT p.cell,
+         coalesce(list(s.s // s.n ORDER BY s.j), p.c) AS c
+  FROM {prev} p LEFT JOIN s{i} s USING (cell)
+  GROUP BY p.cell, p.c
+)""")
+        prev = f"c{i}"
+    final = f"""
+SELECT vec_id, cell, dist FROM (
+  SELECT q.vec_id, c.cell, {dist} AS dist,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {dist}, c.cell) AS rn
+  FROM q CROSS JOIN {prev} c)
+WHERE rn = 1"""
+    return "WITH " + ",\n".join(parts) + final

@@ -118,3 +118,99 @@ def test_quantize_kernels_equal_and_roundtrip(emb):
             continue
         deq = np.array(q, dtype=np.float64) * amax / 127.0
         assert np.abs(deq - raw[vid]).max() <= amax / 254.0 + 1e-12
+
+
+# ----- integer k-means IVF ------------------------------------------------
+
+
+def test_kmeans_ivf_matches_duckdb_twin(spark):
+    import duckdb
+
+    from ctlp_spark.functions import ann as A
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = sorted(map(tuple, A.kmeans_ivf(emb).collect()))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        "'/root/testdata/sf0.001/embeddings.parquet'"
+    )
+    want = sorted(map(tuple, con.sql(A.sql_kmeans_ivf()).fetchall()))
+    assert got == want
+    # every cell non-trivially populated on this corpus
+    import collections
+
+    sizes = collections.Counter(c for _, c, _ in got)
+    assert len(sizes) == A.KM_K and min(sizes.values()) > 0
+
+
+def test_kmeans_ivf_partitioning_invariant(spark):
+    """Same cells and distances regardless of input partitioning — the
+    integer math has no fold-order dependence and seeding is content-
+    hashed, so the result is a pure function of the data."""
+    from ctlp_spark.functions import ann as A
+    from ctlp_spark.functions.dedup import release_caches
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = sorted(map(tuple, A.kmeans_ivf(emb).collect()))
+    release_caches()
+    b = sorted(map(tuple, A.kmeans_ivf(emb.repartition(13)).collect()))
+    release_caches()
+    assert a == b
+
+
+def test_kmeans_ivf_quant_contract_raises(spark):
+    from ctlp_spark.functions import ann as A
+
+    bad = spark.createDataFrame(
+        [(0, [2.5] * A.DIM, 0)], "vec_id bigint, embedding array<float>, label int"
+    )
+    with pytest.raises(Exception, match="quantization contract"):
+        A.kmeans_ivf(bad).collect()
+
+
+def test_kmeans_ivf_assignment_is_nearest(spark):
+    """Every vector's reported dist must equal the true integer squared
+    L2 to its assigned centroid AND be <= the distance to every other
+    final centroid (argmin verified independently in numpy)."""
+    import numpy as np
+
+    from ctlp_spark.functions import ann as A
+    from ctlp_spark.functions.dedup import release_caches
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(120)
+    rows = {r.vec_id: r for r in A.kmeans_ivf(emb).collect()}
+    release_caches()
+    # recompute quants + final centroids independently
+    raw = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in emb.collect()}
+    q = {
+        i: (np.floor(v * A.KM_SCALE).astype(np.int64) + A.KM_SHIFT)
+        for i, v in raw.items()
+    }
+    # centroid per cell from the assignment itself (post-final-assignment
+    # consistency: dist is to the centroid that produced the argmin)
+    for i, r in rows.items():
+        same = [q[j] for j, rj in rows.items() if rj.cell == r.cell]
+        # dist to own cell's implied centroid can't be recomputed without
+        # replaying Lloyd; instead check dist is a plausible exact sq-L2:
+        # non-negative and == 0 iff the vector equals a centroid seed dim-wise
+        assert r.dist >= 0
+    # cross-check one full replay in numpy: seeds by md5, 2 Lloyd rounds
+    import hashlib
+
+    ids = sorted(raw, key=lambda i: hashlib.md5(str(i).encode()).hexdigest())
+    C = np.stack([q[i] for i in ids[: A.KM_K]])
+    for _ in range(A.KM_ITERS):
+        assign = {
+            i: int(((C - q[i]) ** 2).sum(axis=1).argmin()) for i in raw
+        }
+        newC = C.copy()
+        for c in range(A.KM_K):
+            members = [q[i] for i in raw if assign[i] == c]
+            if members:
+                newC[c] = np.stack(members).sum(axis=0) // len(members)
+        C = newC
+    for i in raw:
+        d2 = ((C - q[i]) ** 2).sum(axis=1)
+        assert rows[i].cell == int(d2.argmin())
+        assert rows[i].dist == int(d2.min())
