@@ -1002,6 +1002,17 @@ def q_s8_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.kmeans_ivf(emb)
 
 
+def q_s9_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end learned-IVF search: kmeans cells (s8) + the s2-shaped
+    broadcast cell-equi-join + per-query top-k cosine. nprobe=1: only the
+    query's own learned cell is scored — the full IVF pipeline with no
+    precomputed label."""
+    from ctlp_spark.functions import ann as A
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return A.kmeans_topk(emb)
+
+
 def _m_sql(kind: str) -> str:
     from ctlp_spark.functions import multimodal as M
 
@@ -1023,6 +1034,7 @@ def _ann_sql(kind: str) -> str:
         "multiprobe": A.sql_multiprobe_candidates(n_queries=10),
         "quantize": A.sql_quantize_digest(),
         "kmeans": A.sql_kmeans_ivf(),
+        "kmeans_topk": A.sql_kmeans_topk(),
     }[kind]
 
 
@@ -1081,6 +1093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s6_multiprobe_candidates": q_s6_multiprobe_candidates,
         "s7_quantize_digest": q_s7_quantize_digest,
         "s8_kmeans_cells": q_s8_kmeans_cells,
+        "s9_kmeans_topk": q_s9_kmeans_topk,
         "m1_media_metadata": q_m1_media_metadata,
         "m2_decode_media": q_m2_decode_media,
         "m3_frame_sample": q_m3_frame_sample,
@@ -1135,6 +1148,7 @@ def oracle_sql() -> dict[str, str]:
         "s6_multiprobe_candidates": _ann_sql("multiprobe"),
         "s7_quantize_digest": _ann_sql("quantize"),
         "s8_kmeans_cells": _ann_sql("kmeans"),
+        "s9_kmeans_topk": _ann_sql("kmeans_topk"),
         "m1_media_metadata": _M1_SQL,
         "m2_decode_media": _m_sql("decode"),
         "m3_frame_sample": _m_sql("frames"),

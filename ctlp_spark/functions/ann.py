@@ -905,3 +905,78 @@ SELECT vec_id, cell, dist FROM (
   FROM q CROSS JOIN {prev} c)
 WHERE rn = 1"""
     return "WITH " + ",\n".join(parts) + final
+
+
+def kmeans_topk(
+    emb: DataFrame, k: int = 5, n_queries: int = 10, kernel: str = "expr",
+) -> DataFrame:
+    """IVF SEARCH over the learned cells: top-k cosine neighbors for the
+    query set (vec_id < n_queries), scored only within each query's own
+    k-means cell (nprobe=1) — the end-to-end learned-IVF path (s2 uses a
+    precomputed label as the cell; this composes ``kmeans_ivf``'s learned
+    assignment with the same broadcast equi-join + per-query top-k shape).
+
+    Scale shape identical to s2: the cell table joins back to the corpus
+    by id (hash join), queries broadcast, scoring happens only inside the
+    query's cell (join key = cell), final per-query top-k is a window
+    over ≤ |cell| candidates. kernel="expr" by the s1/s2 measurement
+    (pair-shaped relation, small per-row work)."""
+    cells = kmeans_ivf(emb).select("vec_id", "cell")
+    e = emb.join(cells, "vec_id")
+    q = e.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q"), F.col("embedding").alias("qv"),
+        F.col("cell").alias("qcell"),
+        _norm_k(F.col("embedding"), kernel).alias("qn"),
+    )
+    corpus = e.select(
+        "vec_id", "embedding", "cell",
+        _norm_k(F.col("embedding"), kernel).alias("vn"),
+    )
+    scored = (
+        corpus.join(F.broadcast(q), on=F.col("cell") == F.col("qcell"))
+        .where(F.col("vec_id") != F.col("q"))
+        .select(
+            "q",
+            F.col("vec_id").alias("neighbor"),
+            F.floor(
+                _dot_k(F.col("qv"), F.col("embedding"), kernel)
+                / (F.col("qn") * F.col("vn"))
+                * 1_000_000
+            )
+            .cast("bigint")
+            .alias("cos_ppm"),
+        )
+    )
+    w = Window.partitionBy("q").orderBy(
+        F.col("cos_ppm").desc(), F.col("neighbor").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("q", "rank", "neighbor", "cos_ppm")
+    )
+
+
+def sql_kmeans_topk(
+    t: str = "embeddings", k: int = 5, n_queries: int = 10, dim: int = DIM,
+) -> str:
+    """DuckDB twin: the kmeans_ivf CTE chain produces the cells, then the
+    same cosine fold + per-query rank as sql_brute_force_topk."""
+    km = sql_kmeans_ivf(t, dim=dim)
+    cos = sql_cosine("q.embedding", "e.embedding", dim)
+    return f"""
+WITH cells AS ({km}),
+e AS (SELECT t.vec_id, t.embedding, c.cell FROM {t} t JOIN cells c USING (vec_id)),
+q AS (SELECT vec_id, embedding, cell FROM e WHERE vec_id < {n_queries}),
+scored AS (
+  SELECT q.vec_id AS q, e.vec_id AS neighbor,
+         CAST(floor({cos} * 1000000) AS BIGINT) AS cos_ppm
+  FROM e JOIN q ON e.cell = q.cell AND e.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT q, neighbor, cos_ppm,
+         row_number() OVER (PARTITION BY q ORDER BY cos_ppm DESC, neighbor ASC) AS rank
+  FROM scored
+)
+SELECT q, CAST(rank AS BIGINT) AS rank, neighbor, cos_ppm
+FROM ranked WHERE rank <= {k}"""

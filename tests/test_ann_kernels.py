@@ -214,3 +214,41 @@ def test_kmeans_ivf_assignment_is_nearest(spark):
         d2 = ((C - q[i]) ** 2).sum(axis=1)
         assert rows[i].cell == int(d2.argmin())
         assert rows[i].dist == int(d2.min())
+
+
+def test_kmeans_topk_matches_duckdb_twin(spark):
+    import duckdb
+
+    from ctlp_spark.functions import ann as A
+    from ctlp_spark.functions.dedup import release_caches
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = sorted(map(tuple, A.kmeans_topk(emb).collect()))
+    release_caches()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        "'/root/testdata/sf0.001/embeddings.parquet'"
+    )
+    want = sorted(map(tuple, con.sql(A.sql_kmeans_topk()).fetchall()))
+    assert got == want
+    assert len(got) > 0
+
+
+def test_kmeans_topk_plan_joins_on_cell(spark):
+    """Scale invariant (same as the s2 gate): scoring must be an
+    equi-join on the learned cell — no Cartesian / nested-loop blow-up."""
+    from ctlp_spark.functions import ann as A
+    from ctlp_spark.functions.dedup import release_caches
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = (
+        A.kmeans_topk(emb)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    release_caches()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
