@@ -1,0 +1,93 @@
+"""Training-shard EXPORT: the sink half of the packing pipeline.
+
+``packing.token_budget_shards`` decides which shard every document
+belongs to (t6); this module materializes that decision: one partition
+directory per shard (`shard=N/`), an atomic manifest written only AFTER
+the data commits, and counts derived from the COMMITTED files — the same
+committed-sink-counters invariant the rule pipeline holds (CLAUDE.md;
+reference parity: counts never come from pre-write accumulators).
+
+Replay contract: a run writes to ``{out_dir}`` with dynamic-overwrite
+semantics per run (mode="overwrite" over the whole run directory), so a
+crashed export re-runs idempotently; the manifest's presence marks a
+complete export (readers gate on it, exactly like _SUCCESS but carrying
+the shard inventory).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ctlp_spark.functions.packing import token_budget_shards
+
+MANIFEST = "_manifest.json"  # underscore: invisible to Spark's parquet reader, like _SUCCESS
+
+
+def write_training_shards(
+    docs: DataFrame,
+    out_dir: str,
+    budget: int = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Assign token-budget shards and export them:
+
+    1. shard assignment (t6 operator) joined back to the full doc rows;
+    2. ``partitionBy(shard_id)`` parquet write (one directory per shard —
+       at scale each shard is a bounded ~budget-token unit a trainer
+       streams independently);
+    3. manifest from the COMMITTED data: re-read the written parquet and
+       aggregate per-shard doc/token counts, then atomic-rename the JSON
+       into place (crash before the rename ⇒ no manifest ⇒ readers treat
+       the export as absent; rerun overwrites).
+
+    Returns the manifest dict."""
+    kwargs = {} if budget is None else {"budget": budget}
+    shards = token_budget_shards(docs, id_col=id_col, text_col=text_col, **kwargs)
+    joined = docs.join(
+        shards.select(id_col, "n_tokens", "shard_id"), id_col
+    )
+    joined.write.mode("overwrite").partitionBy("shard_id").parquet(out_dir)
+
+    committed = docs.sparkSession.read.parquet(out_dir)
+    per_shard = (
+        committed.groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .orderBy("shard_id")
+        .collect()
+    )
+    manifest = {
+        "shards": [
+            {
+                "shard_id": int(r.shard_id),
+                "n_docs": int(r.n_docs),
+                "n_tokens": int(r.n_tokens),
+            }
+            for r in per_shard
+        ],
+        "n_shards": len(per_shard),
+        "total_docs": int(sum(r.n_docs for r in per_shard)),
+        "total_tokens": int(sum(r.n_tokens for r in per_shard)),
+    }
+    fd, tmp = tempfile.mkstemp(dir=out_dir)
+    with os.fdopen(fd, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, os.path.join(out_dir, MANIFEST))
+    return manifest
+
+
+def read_manifest(out_dir: str) -> dict | None:
+    """The committed-export marker; None = export absent/incomplete."""
+    p = os.path.join(out_dir, MANIFEST)
+    if not os.path.exists(p):
+        return None
+    with open(p, encoding="utf-8") as fh:
+        return json.load(fh)

@@ -1,0 +1,46 @@
+"""Training-shard export: committed-data manifest, idempotent replay,
+shard/budget contract."""
+
+from __future__ import annotations
+
+import pytest
+
+from ctlp_spark.functions import export as E
+from ctlp_spark.functions.packing import DEFAULT_BUDGET
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet").cache()
+
+
+def test_export_manifest_matches_committed_data(spark, docs, tmp_path):
+    out = str(tmp_path / "shards")
+    m = E.write_training_shards(docs, out)
+    assert E.read_manifest(out) == m
+    committed = spark.read.parquet(out)
+    assert committed.count() == m["total_docs"] == docs.count()
+    # every shard directory the manifest names exists on disk
+    import os
+
+    for s in m["shards"]:
+        assert os.path.isdir(os.path.join(out, f"shard_id={s['shard_id']}"))
+    # no shard overshoots the budget by more than one document's tokens
+    # (the packing contract: a doc goes to the next shard once the budget
+    # is crossed, so a shard holds < budget + its last doc)
+    per_doc_max = max(r.n_tokens for r in committed.select("n_tokens").collect())
+    for s in m["shards"]:
+        assert s["n_tokens"] < DEFAULT_BUDGET + per_doc_max
+
+
+def test_export_replay_is_idempotent(spark, docs, tmp_path):
+    out = str(tmp_path / "shards")
+    m1 = E.write_training_shards(docs, out)
+    m2 = E.write_training_shards(docs, out)  # replay
+    assert m1 == m2
+    committed = spark.read.parquet(out)
+    assert committed.count() == m1["total_docs"]  # no duplicates
+
+
+def test_missing_manifest_means_absent(tmp_path):
+    assert E.read_manifest(str(tmp_path)) is None
