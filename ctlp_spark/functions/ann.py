@@ -897,7 +897,7 @@ def sql_kmeans_ivf(
 )""")
         prev = f"c{i}"
     final = f"""
-SELECT vec_id, cell, dist FROM (
+SELECT vec_id, cell, CAST(dist AS BIGINT) AS dist FROM (
   SELECT q.vec_id, c.cell, {dist} AS dist,
          row_number() OVER (
            PARTITION BY q.vec_id
