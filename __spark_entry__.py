@@ -960,6 +960,24 @@ def _t8_sql() -> str:
     )
 
 
+def q_t9_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation verdict (functions/curate.py): exact-dedup
+    canonicality + quality threshold + language allowlist folded into one
+    keep/drop with FIRST-MATCH-WINS reason attribution — the rule
+    engine's drop semantics applied to training-data curation, composed
+    from the already-oracle-checked d1/t1/t2 operators."""
+    from ctlp_spark.functions.curate import curate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return curate(docs)
+
+
+def _t9_sql() -> str:
+    from ctlp_spark.functions.curate import sql_curate
+
+    return sql_curate()
+
+
 def q_c9_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation context packing: each turn assigned to the
     ~256-token training window its first token falls into, under the
@@ -1076,6 +1094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t6_token_shards": q_t6_token_shards,
         "t7_source_epochs": q_t7_source_epochs,
         "t8_redaction": q_t8_redaction,
+        "t9_curation": q_t9_curation,
         "d1_exact_dedup": q_d1_exact_dedup,
         "d2_ngram_jaccard": q_d2_ngram_jaccard,
         "d3_minhash_signatures": q_d3_minhash_signatures,
@@ -1129,6 +1148,7 @@ def oracle_sql() -> dict[str, str]:
         "t6_token_shards": _t6_sql(),
         "t7_source_epochs": _t7_sql(),
         "t8_redaction": _t8_sql(),
+        "t9_curation": _t9_sql(),
         "d1_exact_dedup": _dedup_sql("exact"),
         "d2_ngram_jaccard": _dedup_sql("jaccard"),
         "d3_minhash_signatures": _dedup_sql("minhash"),

@@ -1,0 +1,92 @@
+"""End-to-end training-data CURATION decision over the documents table —
+the composition flagship: exact-dedup canonicality + quality score +
+language ID folded into one keep/drop verdict with FIRST-MATCH-WINS
+reason attribution, mirroring the rule engine's drop semantics
+(reference pkg/rules: first matching rule names the drop; here the
+fixed check order is the "config").
+
+Check order (first failing check is THE reason, later checks don't run
+conceptually — exactly the rule pipeline's attribution contract):
+
+1. ``duplicate``   — not the canonical doc of its exact-dup group;
+2. ``low_quality`` — quality_ppm below the threshold;
+3. ``lang``        — predicted language outside the allowlist.
+
+Pure composition of already-oracle-checked operators (d1, t1, t2), so
+the DuckDB twin is their SQL composed the same way; everything stays
+integer/string — no new determinism surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ctlp_spark.functions.dedup import exact_dedup
+from ctlp_spark.functions.text import lang_id, quality_ppm
+
+DEFAULT_MIN_QUALITY_PPM = 420_000
+DEFAULT_LANGS = ("en",)
+
+
+def curate(
+    docs: DataFrame,
+    min_quality_ppm: int = DEFAULT_MIN_QUALITY_PPM,
+    allowed_langs: tuple[str, ...] = DEFAULT_LANGS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, quality_ppm, lang_pred, is_canonical, keep, reason) —
+    reason NULL iff kept. One id-keyed hash join (the dedup window) plus
+    pure-map scoring; the decision itself adds no shuffle."""
+    canon = exact_dedup(docs, id_col=id_col, text_col=text_col).select(
+        id_col, "is_canonical"
+    )
+    scored = docs.select(
+        id_col,
+        quality_ppm(F.col(text_col)).cast("bigint").alias("quality_ppm"),
+        lang_id(F.col(text_col)).alias("lang_pred"),
+    ).join(canon, id_col)
+    reason = (
+        F.when(~F.col("is_canonical"), F.lit("duplicate"))
+        .when(F.col("quality_ppm") < min_quality_ppm, F.lit("low_quality"))
+        .when(~F.col("lang_pred").isin(*allowed_langs), F.lit("lang"))
+    )
+    return scored.select(
+        id_col,
+        "quality_ppm",
+        "lang_pred",
+        "is_canonical",
+        reason.alias("reason"),
+        reason.isNull().alias("keep"),
+    )
+
+
+def sql_curate(
+    t: str = "documents",
+    min_quality_ppm: int = DEFAULT_MIN_QUALITY_PPM,
+    allowed_langs: tuple[str, ...] = DEFAULT_LANGS,
+) -> str:
+    from ctlp_spark.functions.dedup import sql_exact_dedup
+    from ctlp_spark.functions.text import SQL_QUALITY_PPM, sql_lang_id
+
+    langs = ", ".join(f"'{lang}'" for lang in allowed_langs)
+    return f"""
+WITH canon AS (SELECT doc_id, is_canonical FROM ({sql_exact_dedup(t)})),
+scored AS (
+  SELECT d.doc_id,
+         CAST({SQL_QUALITY_PPM.format(t='d.text')} AS BIGINT) AS quality_ppm,
+         {sql_lang_id('d.text')} AS lang_pred,
+         c.is_canonical
+  FROM {t} d JOIN canon c USING (doc_id)
+)
+SELECT doc_id, quality_ppm, lang_pred, is_canonical,
+       CASE WHEN NOT is_canonical THEN 'duplicate'
+            WHEN quality_ppm < {min_quality_ppm} THEN 'low_quality'
+            WHEN lang_pred NOT IN ({langs}) THEN 'lang'
+       END AS reason,
+       CASE WHEN NOT is_canonical THEN 'duplicate'
+            WHEN quality_ppm < {min_quality_ppm} THEN 'low_quality'
+            WHEN lang_pred NOT IN ({langs}) THEN 'lang'
+       END IS NULL AS keep
+FROM scored"""

@@ -1,0 +1,62 @@
+"""Curation composition: first-match reason attribution, cross-engine
+equality, all three reasons exercised."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from ctlp_spark.functions import curate as C
+
+
+def test_matches_duckdb_twin_on_driver_corpus(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = sorted(map(tuple, C.curate(docs).collect()))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    want = sorted(map(tuple, con.sql(C.sql_curate()).fetchall()))
+    assert got == want
+
+
+def test_first_match_attribution(spark):
+    """A doc failing SEVERAL checks reports only the FIRST (duplicate >
+    low_quality > lang) — the rule engine's attribution contract."""
+    rows = [
+        # 0/1 identical: 1 is the duplicate (higher id), and its text is
+        # also low quality — reason must still be 'duplicate'
+        (0, "the of to and in a quality words the of to and in a"),
+        (1, "the of to and in a quality words the of to and in a"),
+        # low quality AND non-en markers: reason must be 'low_quality'
+        (2, "zzz zzz zzz zzz zzz zzz zzz zzz zzz zzz zzz zzz"),
+        # decent quality, but non-en: 'lang'  (und: no markers at all)
+        (3, "qq ww ee rr tt yy uu ii oo pp aa ss dd ff gg hh jj kk"),
+        # clean keep: stopword-rich english
+        (4, "the report shows that the new method is better than the old one"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: (r.keep, r.reason) for r in C.curate(docs).collect()}
+    assert got[1] == (False, "duplicate")
+    assert got[0][1] in (None, "low_quality", "lang")  # canonical twin judged on merits
+    assert got[2] == (False, "low_quality")
+    assert got[3] == (False, "lang")
+    assert got[4] == (True, None)
+    # twin agrees on the synthetic fixture too
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = sorted(map(tuple, con.sql(C.sql_curate()).fetchall()))
+    assert sorted(map(tuple, C.curate(docs).collect())) == want
+
+
+def test_keep_iff_reason_null(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bad = C.curate(docs).where(
+        (F.col("keep") & F.col("reason").isNotNull())
+        | (~F.col("keep") & F.col("reason").isNull())
+    )
+    assert bad.count() == 0
