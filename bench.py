@@ -341,8 +341,9 @@ def main() -> None:
         "unit": "sec",
         "queries": queries,
         "sf": _sf(),
-        "bench_rows": n_rows,
-        "turns_per_sec": big["pipeline_turns_per_sec"],
+        # bench_rows dropped + integer tps: 2000-char window economy
+        # (rows = sf * 1e8 is derivable; see BASELINE.md)
+        "turns_per_sec": int(big["pipeline_turns_per_sec"]),
         # primary = the smallest 4x pair (the scaling-evidence headline);
         # "pairs" holds every pair once — no duplicated copy of pair #0
         "scaling": {
