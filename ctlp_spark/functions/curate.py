@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ctlp_spark.functions.dedup import exact_dedup
-from ctlp_spark.functions.text import lang_id, quality_ppm
+from ctlp_spark.functions.text import lang_id_frame, quality_ppm
 
 DEFAULT_MIN_QUALITY_PPM = 420_000
 DEFAULT_LANGS = ("en",)
@@ -42,11 +42,18 @@ def curate(
     canon = exact_dedup(docs, id_col=id_col, text_col=text_col).select(
         id_col, "is_canonical"
     )
-    scored = docs.select(
-        id_col,
-        quality_ppm(F.col(text_col)).cast("bigint").alias("quality_ppm"),
-        lang_id(F.col(text_col)).alias("lang_pred"),
-    ).join(canon, id_col)
+    # lang via the column-materialized frame, NOT the inline lang_id()
+    # expression — the argmax CASE chain over inline score trees
+    # duplicates the replace() scans exponentially (the t2 analysis-cost
+    # fix; see lang_id_frame docstring). Same values, id-keyed join.
+    scored = (
+        docs.select(
+            id_col,
+            quality_ppm(F.col(text_col)).cast("bigint").alias("quality_ppm"),
+        )
+        .join(lang_id_frame(docs, id_col=id_col, text_col=text_col), id_col)
+        .join(canon, id_col)
+    )
     reason = (
         F.when(~F.col("is_canonical"), F.lit("duplicate"))
         .when(F.col("quality_ppm") < min_quality_ppm, F.lit("low_quality"))
