@@ -808,6 +808,18 @@ def kmeans_ivf(
     Returns (id_col, cell, dist) — dist the exact integer squared L2 to
     the final centroid. DuckDB twin: sql_kmeans_ivf (same math unrolled
     as CTEs)."""
+    quant, C = _kmeans_fit(emb, k, iters, id_col)
+    out = quant.select(
+        id_col, _km_assign_udf(C)(F.col("q")).alias("a")
+    ).select(id_col, "a.cell", "a.dist")
+    return out
+
+
+def _kmeans_fit(
+    emb: DataFrame, k: int = KM_K, iters: int = KM_ITERS, id_col: str = "vec_id"
+) -> tuple[DataFrame, np.ndarray]:
+    """Shared Lloyd fit: returns the cached quant frame and the final
+    (k, d) int64 centroid model. See kmeans_ivf for the contract."""
     from ctlp_spark.functions.dedup import _CACHED_FRAMES
 
     quant = emb.select(id_col, _km_quant_col()(F.col("embedding")).alias("q"))
@@ -840,11 +852,27 @@ def kmeans_ivf(
         for r in agg:
             newC[r.cell, r.j] = r.s // r.n
         C = newC
+    return quant, C
 
-    out = quant.select(
-        id_col, _km_assign_udf(C)(F.col("q")).alias("a")
-    ).select(id_col, "a.cell", "a.dist")
-    return out
+
+def _km_probe_udf(centroids: np.ndarray, nprobe: int):
+    """Query-side probe kernel: the ``nprobe`` nearest cells, ordered by
+    (dist, cell) — same all-integer math as _km_assign_udf; element 0 is
+    exactly the argmin assignment, so nprobe=1 reduces to it."""
+    C = centroids.astype(np.int64)
+    c_sq = (C * C).sum(axis=1)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe(qs: pd.Series) -> pd.Series:
+        out = []
+        for v in qs:
+            q = np.asarray(v, dtype=np.int64)
+            d2 = (q * q).sum() + c_sq - 2 * (C @ q)
+            order = np.lexsort((np.arange(len(C)), d2))  # (dist, cell)
+            out.append(order[:nprobe].astype(np.int32).tolist())
+        return pd.Series(out)
+
+    return probe
 
 
 def sql_kmeans_ivf(
@@ -909,6 +937,7 @@ WHERE rn = 1"""
 
 def kmeans_topk(
     emb: DataFrame, k: int = 5, n_queries: int = 10, kernel: str = "expr",
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF SEARCH over the learned cells: top-k cosine neighbors for the
     query set (vec_id < n_queries), scored only within each query's own
@@ -921,12 +950,26 @@ def kmeans_topk(
     query's cell (join key = cell), final per-query top-k is a window
     over ≤ |cell| candidates. kernel="expr" by the s1/s2 measurement
     (pair-shaped relation, small per-row work)."""
-    cells = kmeans_ivf(emb).select("vec_id", "cell")
+    quant, C = _kmeans_fit(emb)
+    cells = quant.select(
+        "vec_id", _km_assign_udf(C)(F.col("q")).alias("a")
+    ).select("vec_id", "a.cell")
     e = emb.join(cells, "vec_id")
-    q = e.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("q"), F.col("embedding").alias("qv"),
-        F.col("cell").alias("qcell"),
-        _norm_k(F.col("embedding"), kernel).alias("qn"),
+    # query side probes its nprobe nearest cells (explode multiplies only
+    # the tiny broadcast query relation; a neighbor has exactly one cell,
+    # so no (q, neighbor) pair can duplicate across probes)
+    probes = quant.where(F.col("vec_id") < n_queries).select(
+        "vec_id",
+        F.explode(_km_probe_udf(C, nprobe)(F.col("q"))).alias("qcell"),
+    )
+    q = (
+        emb.where(F.col("vec_id") < n_queries)
+        .join(probes, "vec_id")
+        .select(
+            F.col("vec_id").alias("q"), F.col("embedding").alias("qv"),
+            "qcell",
+            _norm_k(F.col("embedding"), kernel).alias("qn"),
+        )
     )
     corpus = e.select(
         "vec_id", "embedding", "cell",
@@ -959,15 +1002,39 @@ def kmeans_topk(
 
 def sql_kmeans_topk(
     t: str = "embeddings", k: int = 5, n_queries: int = 10, dim: int = DIM,
+    nprobe: int = 1,
 ) -> str:
-    """DuckDB twin: the kmeans_ivf CTE chain produces the cells, then the
-    same cosine fold + per-query rank as sql_brute_force_topk."""
+    """DuckDB twin: the kmeans_ivf CTE chain produces the cells, the
+    query side probes its ``nprobe`` nearest centroids, then the same
+    cosine fold + per-query rank as sql_brute_force_topk."""
     km = sql_kmeans_ivf(t, dim=dim)
+    # corpus cells reuse the assignment query; the probe ranking runs
+    # against the FINAL centroid table (_sql_km_centroids)
+    quant = (
+        f"list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * "
+        f"{KM_SCALE}) AS BIGINT) + {KM_SHIFT})"
+    )
+    pdist = (
+        f"list_sum(list_transform(generate_series(1, {dim}), "
+        f"j -> (p.q[j] - c.c[j]) * (p.q[j] - c.c[j])))"
+    )
     cos = sql_cosine("q.embedding", "e.embedding", dim)
     return f"""
 WITH cells AS ({km}),
 e AS (SELECT t.vec_id, t.embedding, c.cell FROM {t} t JOIN cells c USING (vec_id)),
-q AS (SELECT vec_id, embedding, cell FROM e WHERE vec_id < {n_queries}),
+pq AS (SELECT vec_id, {quant} AS q FROM {t} WHERE vec_id < {n_queries}),
+centroids AS (SELECT cell, c FROM ({_sql_km_centroids(t, dim)}) ),
+probe AS (
+  SELECT vec_id, qcell FROM (
+    SELECT p.vec_id, c.cell AS qcell,
+           row_number() OVER (PARTITION BY p.vec_id ORDER BY {pdist}, c.cell) AS rn
+    FROM pq p CROSS JOIN centroids c)
+  WHERE rn <= {nprobe}
+),
+q AS (
+  SELECT t.vec_id, t.embedding, probe.qcell AS cell
+  FROM {t} t JOIN probe ON probe.vec_id = t.vec_id
+),
 scored AS (
   SELECT q.vec_id AS q, e.vec_id AS neighbor,
          CAST(floor({cos} * 1000000) AS BIGINT) AS cos_ppm
@@ -980,3 +1047,13 @@ ranked AS (
 )
 SELECT q, CAST(rank AS BIGINT) AS rank, neighbor, cos_ppm
 FROM ranked WHERE rank <= {k}"""
+
+
+def _sql_km_centroids(t: str = "embeddings", dim: int = DIM) -> str:
+    """Standalone query returning the FINAL centroid table (cell, c) —
+    the same CTE chain as sql_kmeans_ivf minus the assignment output."""
+    full = sql_kmeans_ivf(t, dim=dim)
+    # the chain ends "...c{KM_ITERS} AS ( ... )\nSELECT ...": reuse the
+    # WITH-prefix and select the final centroid CTE instead
+    cut = full.rindex("\nSELECT vec_id, cell,")
+    return full[:cut] + f"\nSELECT cell, c FROM c{KM_ITERS}"

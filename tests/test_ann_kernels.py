@@ -252,3 +252,34 @@ def test_kmeans_topk_plan_joins_on_cell(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_kmeans_topk_nprobe_matches_twin_and_lifts_recall(spark):
+    """nprobe probes the query's nearest cells: result twin-exact at
+    every nprobe, reduces to the plain assignment at nprobe=1, and
+    recall@k vs brute force is monotonically non-decreasing in nprobe
+    (deterministic => pinned, not statistical)."""
+    import duckdb
+
+    from ctlp_spark.functions import ann as A
+    from ctlp_spark.functions.dedup import release_caches
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        "'/root/testdata/sf0.001/embeddings.parquet'"
+    )
+    brute = {(r.q, r.neighbor) for r in A.brute_force_topk(emb).collect()}
+    recalls = []
+    for nprobe in (1, 3):
+        got = sorted(map(tuple, A.kmeans_topk(emb, nprobe=nprobe).collect()))
+        release_caches()
+        want = sorted(
+            map(tuple, con.sql(A.sql_kmeans_topk(nprobe=nprobe)).fetchall())
+        )
+        assert got == want, f"nprobe={nprobe} diverged"
+        hits = {(q, n) for q, _, n, _ in got}
+        recalls.append(len(hits & brute) / len(brute))
+    assert recalls[1] >= recalls[0]
+    assert recalls[1] > 0.4  # pinned: 0.52 on this corpus/model
