@@ -35,11 +35,15 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
-        # lz4 sink codec: measured ~10-15% faster than snappy on the
-        # flagship write path on this host (zstd ~40% slower at default
-        # level); comparable compression ratio for this data shape.
-        # Per-write .option("compression", ...) still overrides.
-        .config("spark.sql.parquet.compression.codec", "lz4")
+        # snappy sink codec (Spark default, pinned deliberately): an
+        # interleaved same-JVM A/B of lz4 vs snappy on the flagship and
+        # pandas write paths shows the difference is inside this host's
+        # JVM noise (an earlier cross-JVM comparison that favored lz4 by
+        # 10-15% was the documented inter-JVM swing, not the codec), and
+        # snappy-framed parquet is readable by every external engine
+        # while Spark's lz4 (Hadoop framing) is not. zstd measured ~40%
+        # slower at default level. Per-write .option() still overrides.
+        .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.driver.memory", os.environ.get("CTLP_DRIVER_MEM", "16g"))
         # ParallelGC: G1's concurrent cycles contend pathologically with
         # 32 task threads in one local-mode JVM on this virtualized host
