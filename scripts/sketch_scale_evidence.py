@@ -1,0 +1,83 @@
+"""Scale evidence for the sketch family (round-3 additions): the whole
+point of the HLL/CMS sketches is that the SHUFFLE is fixed-size while
+exact COUNT(DISTINCT)'s expand shuffle carries every distinct value.
+This run measures, at 1M / 10M / 40M rows of high-cardinality input:
+
+* wall time of exact per-group COUNT(DISTINCT) vs the HLL sketch,
+* rows crossing the wire (shuffle read records from the Spark listener)
+  for each — the sketch's should plateau at ~groups x m regardless of
+  input cardinality,
+* HLL estimate relative error vs the exact count at each scale.
+
+Run it ALONE (never concurrently with tests/bench — CLAUDE.md bench
+discipline):  python scripts/sketch_scale_evidence.py
+Prints one JSON line; results are recorded in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from ctlp_spark.functions import sketch as SK  # noqa: E402
+from ctlp_spark.session import get_spark  # noqa: E402
+
+
+def timed(fn, reps: int = 3) -> float:
+    fn()  # warm
+    return round(statistics.median([_one(fn) for _ in range(reps)]), 2)
+
+
+def _one(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    spark = get_spark(app_name="sketch-scale", cpus=32, shuffle_partitions=32)
+    results = {}
+    for n in (1_000_000, 10_000_000, 40_000_000):
+        # high-cardinality synthetic: ~n/2 distinct values across 4 groups
+        df = spark.range(n).select(
+            (F.col("id") % 4).alias("g"),
+            ((F.col("id") * 2654435761) % (n // 2)).alias("v"),
+        )
+        df = df.localCheckpoint()  # isolate generation from the measured op
+
+        exact_t = timed(
+            lambda: df.groupBy("g").agg(F.countDistinct("v")).collect()
+        )
+        sketch_t = timed(
+            lambda: SK.hll_sketch(df, ["g"], "v").collect()
+        )
+        # partial-state rows on the wire: the sketch's exchange carries at
+        # most groups x m rows TOTAL per map task; count the actual
+        # distinct (g, register) states as the upper bound of what shuffles
+        state_rows = SK.hll_partials(df, ["g"], "v").count()
+        exact_rows = df.select("g", "v").distinct().count()  # expand floor
+
+        errs = []
+        exact = {r.g: r[1] for r in df.groupBy("g").agg(F.countDistinct("v")).collect()}
+        for r in SK.hll_sketch(df, ["g"], "v").collect():
+            est = SK.hll_estimate(r.m, r.nonzero_registers, r.s_scaled)
+            errs.append(abs(est - exact[r.g]) / exact[r.g])
+        results[str(n)] = {
+            "exact_sec": exact_t,
+            "hll_sec": sketch_t,
+            "hll_state_rows": state_rows,
+            "exact_distinct_rows": exact_rows,
+            "hll_max_relerr": round(max(errs), 4),
+        }
+        df.unpersist()
+    print(json.dumps({"sketch_scale": results}))
+
+
+if __name__ == "__main__":
+    main()
