@@ -97,3 +97,68 @@ SELECT doc_id, quality_ppm, lang_pred, is_canonical,
             WHEN lang_pred NOT IN ({langs}) THEN 'lang'
        END IS NULL AS keep
 FROM scored"""
+
+
+# ---------------------------------------------------------------------------
+# config-driven curation (S8 loader parity for the curation extension)
+# ---------------------------------------------------------------------------
+
+
+class CurationConfigError(ValueError):
+    pass
+
+
+def load_curation_config(source) -> dict:
+    """Curation thresholds from the same source kinds the rule engine
+    accepts (rules.load_rules: dict / YAML/JSON path / ``scheme://`` /
+    inline string) — config-driven curation, reference loader parity.
+
+    Schema: ``{min_quality_ppm: int 0..1e6, allowed_langs: [str, ...]}``;
+    both keys optional (module defaults fill in), unknown keys rejected
+    loudly (the reference's strict-config stance)."""
+    import json as _json
+
+    from ctlp_spark.rules import _resolve_source_text
+
+    if isinstance(source, dict):
+        obj = dict(source)
+    else:
+        text = _resolve_source_text(source)
+        stripped = text.lstrip()
+        if stripped.startswith("{"):
+            obj = _json.loads(text)
+        else:
+            try:
+                import yaml
+
+                obj = yaml.safe_load(text)
+            except ImportError:  # pragma: no cover
+                obj = _json.loads(text)
+    if not isinstance(obj, dict):
+        raise CurationConfigError(f"curation config must be a mapping, got {type(obj)}")
+    unknown = set(obj) - {"min_quality_ppm", "allowed_langs"}
+    if unknown:
+        raise CurationConfigError(f"unknown curation config keys: {sorted(unknown)}")
+    out = {
+        "min_quality_ppm": obj.get("min_quality_ppm", DEFAULT_MIN_QUALITY_PPM),
+        "allowed_langs": tuple(obj.get("allowed_langs", DEFAULT_LANGS)),
+    }
+    q = out["min_quality_ppm"]
+    if not isinstance(q, int) or not (0 <= q <= 1_000_000):
+        raise CurationConfigError(f"min_quality_ppm must be an int in [0, 1e6], got {q!r}")
+    if not out["allowed_langs"] or not all(
+        isinstance(lang, str) and lang for lang in out["allowed_langs"]
+    ):
+        raise CurationConfigError("allowed_langs must be a non-empty list of strings")
+    return out
+
+
+def curate_with_config(docs: DataFrame, source) -> DataFrame:
+    """``curate`` parameterized by a loaded config (see
+    load_curation_config)."""
+    cfg = load_curation_config(source)
+    return curate(
+        docs,
+        min_quality_ppm=cfg["min_quality_ppm"],
+        allowed_langs=cfg["allowed_langs"],
+    )

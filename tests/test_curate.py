@@ -60,3 +60,29 @@ def test_keep_iff_reason_null(spark):
         | (~F.col("keep") & F.col("reason").isNull())
     )
     assert bad.count() == 0
+
+
+def test_config_driven_curation(spark, tmp_path):
+    """YAML/dict/inline configs parameterize curate; strict validation."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    yml = tmp_path / "cur.yaml"
+    yml.write_text("min_quality_ppm: 100000\nallowed_langs: [en, und]\n")
+    lenient = C.curate_with_config(docs, str(yml))
+    strict = C.curate_with_config(
+        docs, {"min_quality_ppm": 600000, "allowed_langs": ["en"]}
+    )
+    n_docs = docs.count()
+    kept_lenient = lenient.where("keep").count()
+    kept_strict = strict.where("keep").count()
+    assert kept_strict < kept_lenient <= n_docs
+    # defaults fill missing keys
+    assert C.load_curation_config({}) == {
+        "min_quality_ppm": C.DEFAULT_MIN_QUALITY_PPM,
+        "allowed_langs": C.DEFAULT_LANGS,
+    }
+    with pytest.raises(C.CurationConfigError, match="unknown"):
+        C.load_curation_config({"min_qualityppm": 1})
+    with pytest.raises(C.CurationConfigError, match="min_quality_ppm"):
+        C.load_curation_config({"min_quality_ppm": 2_000_000})
+    with pytest.raises(C.CurationConfigError, match="allowed_langs"):
+        C.load_curation_config({"allowed_langs": []})
