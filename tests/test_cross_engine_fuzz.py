@@ -184,3 +184,34 @@ def test_sketch_and_redact_match_duckdb(spark, seed):
         ).fetchall()
     )
     assert got == want, f"redact diverged on seed {seed}"
+
+
+@pytest.mark.parametrize("seed", [31, 32])
+def test_kmeans_ivf_matches_duckdb_on_random_vectors(spark, seed):
+    """Integer k-means on random float32 vectors: quantization, seeding,
+    both Lloyd rounds, and final (cell, dist) must be bit-identical
+    across engines on corpora beyond the driver fixture."""
+    import numpy as np
+
+    from ctlp_spark.functions import ann as A
+    from ctlp_spark.functions.dedup import release_caches
+
+    rng = np.random.default_rng(seed)
+    n = 180
+    pdf = pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [
+            rng.uniform(-1.5, 1.5, size=A.DIM).astype(np.float32).tolist()
+            for _ in range(n)
+        ],
+        "label": np.zeros(n, dtype=np.int32),
+    })
+    sdf = spark.createDataFrame(
+        pdf, "vec_id bigint, embedding array<float>, label int"
+    )
+    got = sorted(map(tuple, A.kmeans_ivf(sdf).collect()))
+    release_caches()
+    con = duckdb.connect()
+    con.register("embeddings", pdf)
+    want = sorted(map(tuple, con.sql(A.sql_kmeans_ivf()).fetchall()))
+    assert got == want, f"kmeans diverged on seed {seed}"

@@ -163,3 +163,14 @@ def test_session_window_single_exchange(spark):
     plan = _plan(session_window_stats(events, gap="8 hours", key_col="user_id"))
     assert plan.count("Exchange") == 1, plan
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_curation_plan_is_id_keyed_joins_only(spark):
+    """t9: the three-signal composition must stay id-keyed hash joins +
+    pure-map scoring — no Cartesian, no nested-loop, no Python UDFs."""
+    from ctlp_spark.functions.curate import curate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(curate(docs))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "BatchEvalPython" not in plan
