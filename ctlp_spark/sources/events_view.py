@@ -28,11 +28,12 @@ from ctlp_spark.rules import RuleConfig, load_rules
 
 # One source of truth for the derivation; rendered per engine below.
 _TRANSCRIPTS_TEMPLATE = """
-WITH ev AS (
-  SELECT event_id, ts, user_id, event_type,
-         {json_k} AS k,
-         CAST({json_k} AS BIGINT) AS k_int
-  FROM events
+WITH ev0 AS (
+  SELECT event_id, ts, user_id, event_type, {json_k} AS k FROM events
+),
+ev AS (
+  SELECT event_id, ts, user_id, event_type, k, CAST(k AS BIGINT) AS k_int
+  FROM ev0
 )
 SELECT
   'conv-' || CAST(user_id AS STRING) AS conv_id,
@@ -66,8 +67,19 @@ SELECT
 FROM ev
 """
 
+# Spark side extracts k with RE2-free regexp_extract instead of
+# get_json_object: the Jackson parser behind get_json_object contends
+# across 32 local threads (CLAUDE.md host quirks), and an interleaved
+# same-JVM A/B shows the regex path ~2x faster on the full derivation.
+# Gated to this flat generated props shape ('{"k": <int>}'); nullif
+# restores get_json_object's missing-key => NULL (regexp_extract returns
+# '' on no-match, which ANSI CAST would reject). The DuckDB twin keeps
+# real JSON extraction, so every oracle query cross-checks this fast
+# path against a true JSON parse.
 TRANSCRIPTS_SQL_SPARK = _TRANSCRIPTS_TEMPLATE.format(
-    json_k="get_json_object(props, '$.k')"
+    # NB doubled backslashes: Spark's SQL parser unescapes string
+    # literals, so the literal must carry \\s for the regex to see \s
+    json_k="nullif(regexp_extract(props, '\"k\"\\\\s*:\\\\s*(-?\\\\d+)', 1), '')"
 )
 TRANSCRIPTS_SQL_DUCKDB = _TRANSCRIPTS_TEMPLATE.format(
     json_k="json_extract_string(props, '$.k')"
