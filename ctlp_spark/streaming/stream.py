@@ -180,6 +180,28 @@ def session_window_stats(
     )
 
 
+def dedup_within_watermark(
+    stream_df: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming EXACT dedup with bounded state: a row whose ``keys``
+    match an earlier row within the watermark horizon is dropped; state
+    for keys older than the watermark is evicted, so memory is bounded by
+    the duplicate-arrival window, not the stream's history — the
+    streaming twin of ``functions.dedup.exact_dedup`` for the
+    at-least-once ingestion case (an upstream replay redelivers recent
+    rows; nobody redelivers last year's).
+
+    Uses the engine's ``dropDuplicatesWithinWatermark`` (state-store
+    backed, exactly-once under checkpoint recovery) rather than a custom
+    stateful operator — the native operator already has spill-to-disk
+    state and watermark eviction."""
+    keys = keys or ["conv_id", "turn_idx"]
+    src = stream_df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return src.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def stateful_conversation_stats(stream_df: DataFrame) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): running
     per-conversation counters maintained across micro-batches.

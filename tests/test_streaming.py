@@ -318,3 +318,58 @@ def test_session_window_streaming_matches_batch(spark, stream_src, tmp_path):
     )
     assert emitted <= batch
     assert len(batch) > 0
+
+
+def test_dedup_within_watermark_drops_cross_batch_duplicates(spark, tmp_path):
+    """At-least-once replay simulation: the same rows delivered in two
+    files (micro-batches) must come out exactly once; distinct keys all
+    survive."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pandas as pd
+    import datetime as dt
+
+    from ctlp_spark.streaming.stream import dedup_within_watermark
+
+    src = tmp_path / "dupsrc"
+    src.mkdir()
+    base = dt.datetime(2026, 1, 1)
+    rows = pd.DataFrame({
+        "conv_id": [f"c{i % 5}" for i in range(50)],
+        "turn_idx": [i for i in range(50)],
+        "ts": [base + dt.timedelta(seconds=i) for i in range(50)],
+    })
+    # batch 1 = rows 0..34; batch 2 = rows 20..49 (15 redelivered).
+    # pandas datetimes are ns; Spark's parquet reader wants us timestamps
+    schema = pa.schema([
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int64()),
+        ("ts", pa.timestamp("us")),
+    ])
+    def _write(part, name):
+        pq.write_table(
+            pa.Table.from_pandas(part, preserve_index=False).cast(schema),
+            str(src / name),
+        )
+    _write(rows.iloc[:35], "f0.parquet")
+    _write(rows.iloc[20:], "f1.parquet")
+
+    out = str(tmp_path / "dedup_out")
+    stream = (
+        spark.readStream.schema("conv_id string, turn_idx bigint, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        dedup_within_watermark(stream, keys=["conv_id", "turn_idx"])
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 50  # 65 delivered, 15 duplicates dropped
+    assert got.select("conv_id", "turn_idx").distinct().count() == 50
