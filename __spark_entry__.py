@@ -166,6 +166,24 @@ GROUP BY role_class"""
 )
 
 
+def q_j2_salted_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j1's enrichment via the SALTED big-big join (operators/skewjoin):
+    the hot-conversation defense when the dim outgrows broadcast. The
+    oracle is a PLAIN join — like d9, the hash compare proves the salt is
+    a pure physical-plan change (each left row meets its key's right row
+    exactly once, via the one matching salt replica)."""
+    from ctlp_spark.operators.skewjoin import salted_join
+
+    tagged = _tagged(spark, sf_dir, "native")
+    kept = tagged.where(F.col(MATCHED_RULE_COL).isNull()).drop(MATCHED_RULE_COL)
+    dim = _role_dim(spark)
+    joined = salted_join(kept, dim, on="role", how="left", buckets=8)
+    return joined.groupBy("role_class").agg(
+        F.count("*").alias("n"),
+        F.sum("weight_milli").cast("bigint").alias("total_weight_milli"),
+    )
+
+
 def q_a2_dryrun_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: dry-run aggregate counters (reference pkg/rules/versioned.go:323-362):
     totals, filtered/passed, filter rate."""
@@ -1097,6 +1115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r1_kept_rows": q_r1_kept_rows,
         "r2_dropped_rows": q_r2_dropped_rows,
         "j1_enrich_kept": q_j1_enrich_kept,
+        "j2_salted_enrich": q_j2_salted_enrich,
         "a2_dryrun_stats": q_a2_dryrun_stats,
         "p5_transcript_view": q_p5_transcript_view,
         "t1_text_stats": q_t1_text_stats,
@@ -1152,6 +1171,9 @@ def oracle_sql() -> dict[str, str]:
         "r1_kept_rows": _KEPT_ROWS_SQL,
         "r2_dropped_rows": _DROPPED_ROWS_SQL,
         "j1_enrich_kept": _ENRICH_SQL,
+        # j2 is j1 under a salted physical plan; the exact-result oracle is
+        # deliberately the same plain-join SQL (the d9 pattern)
+        "j2_salted_enrich": _ENRICH_SQL,
         "a2_dryrun_stats": _DRYRUN_SQL,
         "p5_transcript_view": _TRANSCRIPT_VIEW_SQL,
         "t1_text_stats": _t1_sql(),

@@ -1,0 +1,55 @@
+"""Salted equi-join for skewed keys — the big-big join tool when the hot
+key's rows overflow one task and the right side is too large to
+broadcast (the broadcast path in operators/pipeline.enrich covers the
+small-dim case; repartition_salted covers skewed AGGREGATION).
+
+Mechanics: every left row gets a deterministic content-hash salt in
+[0, buckets); the right side replicates ``buckets``× with one salt value
+each; the join key becomes (key, salt). A hot key's rows then spread
+across ``buckets`` tasks instead of one straggler. Each left row still
+meets each right row for its key EXACTLY once (the right replica with
+the matching salt), so the result is row-identical to the plain join —
+fuzz-pinned in tests/test_skewjoin.py, including duplicate keys on both
+sides and NULL keys.
+
+AQE's skew-join handles sort-merge skew adaptively at runtime; this
+operator is the explicit, deterministic-plan variant for when you want
+the spread guaranteed up front (or run with AQE off). Replication
+multiplies only the RIGHT relation — size it accordingly (buckets ×
+|right| rows through the shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SALT = "_skew_salt"
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    how: str = "inner",
+    buckets: int = 16,
+) -> DataFrame:
+    """Row-identical to ``left.join(right, on, how)`` with the shuffle key
+    salted. ``how`` in {inner, left}; the salt never leaks into the
+    output."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    if buckets < 2:
+        raise ValueError(f"buckets must be >= 2, got {buckets}")
+    overlap = set(left.columns) & set(right.columns) - {on}
+    if overlap:
+        raise ValueError(f"ambiguous non-key columns on both sides: {sorted(overlap)}")
+    # content-hash salt: deterministic (Murmur3, fixed seed) and
+    # partition-invariant — same row => same salt on every run/layout
+    salted_left = left.withColumn(
+        _SALT, F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(buckets))
+    )
+    replicated_right = right.withColumn(
+        _SALT, F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    )
+    return salted_left.join(replicated_right, on=[on, _SALT], how=how).drop(_SALT)

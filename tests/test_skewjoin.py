@@ -1,0 +1,76 @@
+"""Salted join: row-identical to the plain join (fuzzed with hot keys,
+duplicate keys both sides, NULL keys), salt spreads the hot key, salt
+never leaks."""
+
+from __future__ import annotations
+
+import random
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ctlp_spark.operators.skewjoin import salted_join
+
+
+@pytest.mark.parametrize("seed,how", [(1, "inner"), (2, "left"), (3, "inner")])
+def test_salted_join_equals_plain_join(spark, seed, how):
+    rng = random.Random(seed)
+    keys = ["hot"] * 60 + [f"k{i}" for i in range(20)] + [None] * 5
+    left = pd.DataFrame({
+        "k": [rng.choice(keys) for _ in range(400)],
+        "lv": range(400),
+    })
+    right_keys = ["hot"] * 3 + [f"k{i}" for i in range(15)] + ["absent", None]
+    right = pd.DataFrame({
+        "k": right_keys,
+        "rv": range(len(right_keys)),
+    })
+    sl = spark.createDataFrame(left, "k string, lv bigint")
+    sr = spark.createDataFrame(right, "k string, rv bigint")
+    import collections
+
+    got = collections.Counter(map(tuple, salted_join(sl, sr, "k", how=how).collect()))
+    want = collections.Counter(map(tuple, sl.join(sr, "k", how).collect()))
+    assert got == want
+    assert sum(got.values()) > 0
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """The point of the operator: the hot key's rows carry >1 distinct
+    salt (so a shuffle on (key, salt) spreads them), and the join
+    actually keys on the salt (visible in the plan)."""
+    left = spark.range(0, 20_000).select(
+        F.lit("hot").alias("k"), F.col("id").alias("lv")
+    )
+    right = spark.createDataFrame([("hot", 1)], "k string, rv int")
+    joined = salted_join(left, right, "k", buckets=8)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "_skew_salt" in plan  # the join condition includes the salt
+    salts = (
+        left.withColumn(
+            "s", F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(8))
+        )
+        .select("s")
+        .distinct()
+        .count()
+    )
+    assert salts > 1, "content-hash salt failed to spread the hot key"
+    assert joined.count() == 20_000
+
+
+def test_salted_join_validation(spark):
+    df = spark.range(3).select(F.col("id").alias("k"), F.col("id").alias("x"))
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(df, df.select("k"), "k", how="full")
+    with pytest.raises(ValueError, match="buckets"):
+        salted_join(df, df.select("k"), "k", buckets=1)
+    with pytest.raises(ValueError, match="ambiguous"):
+        salted_join(df, df, "k")
+
+
+def test_salt_never_leaks(spark):
+    left = spark.createDataFrame([("a", 1)], "k string, lv int")
+    right = spark.createDataFrame([("a", 2)], "k string, rv int")
+    out = salted_join(left, right, "k")
+    assert out.columns == ["k", "lv", "rv"]
