@@ -938,6 +938,23 @@ def _t7_sql() -> str:
     )
 
 
+def q_t10_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking (functions/text.chunk_documents): overlapping
+    32-token windows with 8-token overlap — the curation→embedding/
+    packing splitting step. Pure Catalyst (split once + explode chunk
+    starts + slice/join), rides the scan, no shuffle (plan-gated)."""
+    from ctlp_spark.functions.text import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_documents(docs, chunk_tokens=32, overlap=8)
+
+
+def _t10_sql() -> str:
+    from ctlp_spark.functions.text import sql_chunk_documents
+
+    return sql_chunk_documents("documents", chunk_tokens=32, overlap=8)
+
+
 _T8_RULES = None  # built lazily (needs functions.redact import)
 
 
@@ -1127,6 +1144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t7_source_epochs": q_t7_source_epochs,
         "t8_redaction": q_t8_redaction,
         "t9_curation": q_t9_curation,
+        "t10_chunks": q_t10_chunks,
         "d1_exact_dedup": q_d1_exact_dedup,
         "d2_ngram_jaccard": q_d2_ngram_jaccard,
         "d3_minhash_signatures": q_d3_minhash_signatures,
@@ -1185,6 +1203,7 @@ def oracle_sql() -> dict[str, str]:
         "t7_source_epochs": _t7_sql(),
         "t8_redaction": _t8_sql(),
         "t9_curation": _t9_sql(),
+        "t10_chunks": _t10_sql(),
         "d1_exact_dedup": _dedup_sql("exact"),
         "d2_ngram_jaccard": _dedup_sql("jaccard"),
         "d3_minhash_signatures": _dedup_sql("minhash"),

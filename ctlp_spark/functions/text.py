@@ -453,3 +453,87 @@ def sql_lang_id(t: str) -> str:
         expr_lang = f"CASE WHEN {s} > {expr_score} THEN '{lang}' ELSE {expr_lang} END"
         expr_score = f"CASE WHEN {s} > {expr_score} THEN {s} ELSE {expr_score} END"
     return f"CASE WHEN {expr_score} > 0 THEN {expr_lang} ELSE 'und' END"
+
+
+# ---------------------------------------------------------------------------
+# document chunking (context-window splits with overlap)
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(
+    docs,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Split documents into overlapping token windows — the training-data
+    chunking step between curation and embedding/packing: chunk i covers
+    tokens [i*stride, i*stride + chunk_tokens) of the normalized
+    whitespace tokens (stride = chunk_tokens - overlap), so consecutive
+    chunks share ``overlap`` tokens; the last chunk is short rather than
+    padded, a doc with n <= chunk_tokens yields exactly one chunk, and an
+    empty/blank doc yields none.
+
+    Pure Catalyst: split once, one explode of the chunk-start sequence,
+    slice+join per chunk — rides the scan, no shuffle (plan-gated in
+    tests/test_text.py). Output: (id, chunk_idx, n_chunk_tokens,
+    chunk_text)."""
+    if not (0 <= overlap < chunk_tokens):
+        raise ValueError(
+            f"need 0 <= overlap < chunk_tokens, got {overlap}/{chunk_tokens}"
+        )
+    stride = chunk_tokens - overlap
+    toks = F.split(norm_text(F.col(text_col)), " ")
+    n = token_count(F.col(text_col))
+    # ceil(max(n - overlap, 1) / stride) for non-empty docs (a doc shorter
+    # than the overlap still yields its one short chunk); 0 for empty
+    n_chunks = F.when(n == 0, F.lit(0)).otherwise(
+        F.floor(
+            (F.greatest(n - overlap, F.lit(1)) + stride - 1) / stride
+        ).cast("int")
+    )
+    sized = docs.select(
+        F.col(id_col), toks.alias("_toks"), n_chunks.alias("_nc")
+    ).where(F.col("_nc") > 0)
+    exploded = sized.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.col("_nc") - 1)).alias("chunk_idx"),
+        "_toks",
+    )
+    piece = F.slice(
+        F.col("_toks"), F.col("chunk_idx") * stride + 1, chunk_tokens
+    )
+    return exploded.select(
+        id_col,
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.size(piece).cast("bigint").alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
+def sql_chunk_documents(
+    t: str = "documents", chunk_tokens: int = 64, overlap: int = 16
+) -> str:
+    """DuckDB twin (1-based INCLUSIVE list slicing — the documented
+    dialect gotcha)."""
+    stride = chunk_tokens - overlap
+    norm = SQL_NORM.format(t="text")
+    return f"""
+WITH sized AS (
+  SELECT doc_id, string_split({norm}, ' ') AS toks,
+         CASE WHEN ({SQL_TOKEN_COUNT.format(t='text')}) = 0 THEN 0
+              ELSE CAST(floor((greatest(({SQL_TOKEN_COUNT.format(t='text')}) - {overlap}, 1)
+                     + {stride} - 1) / {stride}) AS INT) END AS nc
+  FROM {t}
+),
+e AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS chunk_idx,
+         toks[u.i * {stride} + 1 : u.i * {stride} + {chunk_tokens}] AS piece
+  FROM sized, unnest(generate_series(0, nc - 1)) AS u(i)
+  WHERE nc > 0
+)
+SELECT doc_id, chunk_idx,
+       CAST(len(piece) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(piece, ' ') AS chunk_text
+FROM e"""

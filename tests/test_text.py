@@ -19,3 +19,76 @@ def test_rolling_fingerprint_kernels_equal(spark):
         rolling_fingerprint(F.col("text"), kernel="arrow").alias("a"),
     ).collect()
     assert all(r.e == r.a for r in got), got
+
+
+# ----- document chunking --------------------------------------------------
+
+
+def test_chunk_documents_boundaries(spark):
+    """Window math pinned: n <= chunk => 1 chunk; one extra token past
+    the overlap boundary starts a new chunk; consecutive chunks share
+    exactly `overlap` tokens; empty doc => no chunks."""
+    from ctlp_spark.functions.text import chunk_documents
+
+    rows = [
+        (0, " ".join(f"t{i}" for i in range(8))),    # n=8 == chunk => 1
+        (1, " ".join(f"t{i}" for i in range(9))),    # n=9 => 2 chunks
+        (2, " ".join(f"t{i}" for i in range(14))),   # 8 + stride(6) => 2
+        (3, " ".join(f"t{i}" for i in range(15))),   # => 3 chunks
+        (4, ""),                                     # no chunks
+        (5, "solo"),                                 # 1 short chunk
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = chunk_documents(docs, chunk_tokens=8, overlap=2)
+    got = {
+        (r.doc_id, r.chunk_idx): (r.n_chunk_tokens, r.chunk_text)
+        for r in out.collect()
+    }
+    counts = {}
+    for (d, _), _v in got.items():
+        counts[d] = counts.get(d, 0) + 1
+    assert counts == {0: 1, 1: 2, 2: 2, 3: 3, 5: 1}
+    # overlap: chunk 1 of doc 1 starts at token 6 (stride=6)
+    assert got[(1, 0)][1].split()[-2:] == got[(1, 1)][1].split()[:2]
+    assert got[(1, 1)] == (3, "t6 t7 t8")
+    assert got[(5, 0)] == (1, "solo")
+
+
+def test_chunk_documents_matches_duckdb(spark):
+    import duckdb
+
+    from ctlp_spark.functions.text import chunk_documents, sql_chunk_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = sorted(map(tuple, chunk_documents(docs, 32, 8).collect()))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    want = sorted(con.sql(sql_chunk_documents("documents", 32, 8)).fetchall())
+    assert got == want and len(got) > 0
+
+
+def test_chunk_documents_plan_rides_the_scan(spark):
+    from ctlp_spark.functions.text import chunk_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        chunk_documents(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_chunk_documents_validation(spark):
+    import pytest as _pytest
+
+    from ctlp_spark.functions.text import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id bigint, text string")
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, chunk_tokens=8, overlap=8)
