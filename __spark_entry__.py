@@ -955,6 +955,24 @@ def _t10_sql() -> str:
     return sql_chunk_documents("documents", chunk_tokens=32, overlap=8)
 
 
+def q_t11_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-LM quality signal without float log-probs: ppm share
+    of each doc's bigrams among the corpus's top-200 bigrams
+    (functions/text.bigram_familiarity). Top-k is TakeOrderedAndProject
+    (distributed partial top-k, no single-partition window — plan-gated);
+    scoring is a broadcast join."""
+    from ctlp_spark.functions.text import bigram_familiarity
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bigram_familiarity(docs)
+
+
+def _t11_sql() -> str:
+    from ctlp_spark.functions.text import sql_bigram_familiarity
+
+    return sql_bigram_familiarity()
+
+
 _T8_RULES = None  # built lazily (needs functions.redact import)
 
 
@@ -1145,6 +1163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t8_redaction": q_t8_redaction,
         "t9_curation": q_t9_curation,
         "t10_chunks": q_t10_chunks,
+        "t11_bigram_familiarity": q_t11_bigram_familiarity,
         "d1_exact_dedup": q_d1_exact_dedup,
         "d2_ngram_jaccard": q_d2_ngram_jaccard,
         "d3_minhash_signatures": q_d3_minhash_signatures,
@@ -1204,6 +1223,7 @@ def oracle_sql() -> dict[str, str]:
         "t8_redaction": _t8_sql(),
         "t9_curation": _t9_sql(),
         "t10_chunks": _t10_sql(),
+        "t11_bigram_familiarity": _t11_sql(),
         "d1_exact_dedup": _dedup_sql("exact"),
         "d2_ngram_jaccard": _dedup_sql("jaccard"),
         "d3_minhash_signatures": _dedup_sql("minhash"),

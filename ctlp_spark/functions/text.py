@@ -12,7 +12,7 @@ required by the project brief.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column
+from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -537,3 +537,97 @@ SELECT doc_id, chunk_idx,
        CAST(len(piece) AS BIGINT) AS n_chunk_tokens,
        array_to_string(piece, ' ') AS chunk_text
 FROM e"""
+
+
+def bigram_familiarity(
+    docs,
+    top_k: int = 200,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Integer fluency proxy: the ppm share of a document's token bigrams
+    that appear in the corpus's ``top_k`` most frequent bigrams — the
+    statistical-LM quality signal (familiar local word order scores high;
+    word-salad scores low) without float log-probs: counts, ranks and an
+    integer ppm are exact in both engines.
+
+    Shape at scale: one explode+groupBy builds the corpus bigram counts
+    (map-side combined), the top-k (rank by count desc, bigram asc — total
+    order, deterministic) is a tiny broadcast, and scoring is a per-doc
+    explode + broadcast semi-ish join + groupBy(id). Docs with no bigram
+    (n_tokens < 2) score NULL (no fabricated 0 — missing-field stance).
+
+    Output: (id, n_bigrams, n_familiar, familiar_ppm)."""
+    toks = F.split(norm_text(F.col(text_col)), " ")
+    # bigrams via built-in arrays_zip of the two shifted slices — NO HOF
+    # lambda (the per-element interpreted path is the CLAUDE.md cliff)
+    with_toks = docs.select(
+        F.col(id_col), toks.alias("_toks"), token_count(F.col(text_col)).alias("_n")
+    ).where(F.col("_n") >= 2)
+    zipped = with_toks.select(
+        id_col,
+        F.explode(
+            F.arrays_zip(
+                F.slice("_toks", 1, F.col("_n") - 1),
+                F.slice("_toks", 2, F.col("_n") - 1),
+            )
+        ).alias("_z"),
+    )
+    pairs = zipped.select(
+        id_col, F.concat_ws(" ", F.col("_z")["0"], F.col("_z")["1"]).alias("bg")
+    )
+    counts = pairs.groupBy("bg").agg(F.count("*").alias("cnt"))
+    # top-k via orderBy+limit => TakeOrderedAndProject: per-partition
+    # partial top-k, NOT a single-partition global window (plan-gated).
+    # (cnt desc, bg asc) is a total order, so the cut is deterministic.
+    top = (
+        counts.orderBy(F.col("cnt").desc(), F.col("bg").asc())
+        .limit(top_k)
+        .select("bg", F.lit(1).alias("_fam"))
+    )
+    scored = (
+        pairs.join(F.broadcast(top), "bg", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(F.coalesce(F.col("_fam"), F.lit(0))).cast("bigint").alias("n_familiar"),
+        )
+    )
+    return scored.select(
+        id_col,
+        "n_bigrams",
+        "n_familiar",
+        F.floor(F.col("n_familiar") * 1_000_000 / F.col("n_bigrams"))
+        .cast("bigint")
+        .alias("familiar_ppm"),
+    )
+
+
+def sql_bigram_familiarity(t: str = "documents", top_k: int = 200) -> str:
+    norm = SQL_NORM.format(t="text")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split({norm}, ' ') AS tk
+  FROM {t}
+  WHERE ({SQL_TOKEN_COUNT.format(t='text')}) >= 2
+),
+pairs AS (
+  SELECT doc_id, tk[u.i] || ' ' || tk[u.i + 1] AS bg
+  FROM toks, unnest(generate_series(1, len(tk) - 1)) AS u(i)
+),
+counts AS (SELECT bg, count(*) AS cnt FROM pairs GROUP BY bg),
+top AS (
+  SELECT bg FROM (
+    SELECT bg, row_number() OVER (ORDER BY cnt DESC, bg ASC) AS r FROM counts)
+  WHERE r <= {top_k}
+),
+scored AS (
+  SELECT p.doc_id, count(*) AS n_bigrams,
+         CAST(sum(CASE WHEN top.bg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_familiar
+  FROM pairs p LEFT JOIN top ON p.bg = top.bg
+  GROUP BY p.doc_id
+)
+SELECT doc_id, n_bigrams, n_familiar,
+       CAST(floor(n_familiar * 1000000 / n_bigrams) AS BIGINT) AS familiar_ppm
+FROM scored"""

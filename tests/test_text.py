@@ -92,3 +92,64 @@ def test_chunk_documents_validation(spark):
     docs = spark.createDataFrame([(1, "a")], "doc_id bigint, text string")
     with _pytest.raises(ValueError, match="overlap"):
         chunk_documents(docs, chunk_tokens=8, overlap=8)
+
+
+# ----- bigram familiarity -------------------------------------------------
+
+
+def test_bigram_familiarity_known_answer(spark):
+    """Hand corpus: doc 3's bigrams are all outside the top-2; doc with a
+    single token gets no row (no bigram => NULL stance, not 0)."""
+    from ctlp_spark.functions.text import bigram_familiarity
+
+    rows = [
+        (0, "the cat sat"),      # bigrams: 'the cat', 'cat sat'
+        (1, "the cat ran"),      # 'the cat', 'cat ran'
+        (2, "the cat sat"),      # same as 0
+        (3, "blue whale song"),  # unique bigrams
+        (4, "hello"),            # no bigram -> absent from output
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r.doc_id: (r.n_bigrams, r.n_familiar, r.familiar_ppm)
+        for r in bigram_familiarity(docs, top_k=2).collect()
+    }
+    # top-2 bigrams: 'the cat' (3), 'cat sat' (2)
+    assert got[0] == (2, 2, 1_000_000)
+    assert got[1] == (2, 1, 500_000)
+    assert got[2] == (2, 2, 1_000_000)
+    assert got[3] == (2, 0, 0)
+    assert 4 not in got
+
+
+def test_bigram_familiarity_matches_duckdb(spark):
+    import duckdb
+
+    from ctlp_spark.functions.text import bigram_familiarity, sql_bigram_familiarity
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = sorted(map(tuple, bigram_familiarity(docs, top_k=50).collect()))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    want = sorted(con.sql(sql_bigram_familiarity("documents", top_k=50)).fetchall())
+    assert got == want and len(got) > 0
+
+
+def test_bigram_familiarity_plan_shape(spark):
+    """Scale gates: distributed partial top-k (TakeOrderedAndProject, no
+    single-partition Window), broadcast scoring join, no Python UDFs."""
+    from ctlp_spark.functions.text import bigram_familiarity
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        bigram_familiarity(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan
