@@ -350,11 +350,10 @@ def main() -> None:
         "turns_per_sec": int(big["pipeline_turns_per_sec"]),
         # primary = the smallest 4x pair (the scaling-evidence headline);
         # "pairs" holds every pair once — no duplicated copy of pair #0
-        "scaling": {
-            "efficiency": primary.get("eff"),
-            "efficiency_vs_host_ceiling": primary.get("eff_vs_host"),
-            "pairs": pairs,
-        },
+        # scaling summary lives ONLY in pairs (pair[0] is the primary
+        # 4x evidence pair) — top-level duplicates dropped for the
+        # 2000-char window
+        "scaling": {"pairs": pairs},
     }))
 
 
