@@ -465,40 +465,53 @@ SELECT user_id,
 FROM s GROUP BY user_id, sid"""
 
 
-def q_h1_user_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic HLL distinct sketch of user_id per event_type
-    (functions/sketch.py): fixed m=4096 integer registers per group, one
-    shuffle with map-side partial max — the mergeable-cardinality shape
-    that replaces exact COUNT(DISTINCT)'s expand shuffle at 10^12 rows.
-    The oracle twin recomputes the full register state (same md5 hex
-    string math) — the sketch is verified bit-for-bit, not approximately."""
+def q_h1_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both mergeable sketches in one driver row (the driver records at
+    most 50 queries — round 3's separate h1/h2 rows fell off the end):
+
+    * HLL distinct sketch of user_id per event_type (functions/sketch.py):
+      fixed m=4096 integer registers per group, one shuffle with map-side
+      partial max — the mergeable-cardinality shape that replaces exact
+      COUNT(DISTINCT)'s expand shuffle at 10^12 rows.
+    * Count-Min frequency sketch of user_id: fixed 4×1024 integer
+      counters, one shuffle with map-side partial sum, merge = add.
+
+    Output rows are tagged (sketch, key, a, b): hll → (event_type,
+    nonzero_registers, s_scaled); cms → (depth, bucket, cnt). The oracle
+    twin recomputes the full register/counter state (same md5 hex string
+    math) — both sketches verified bit-for-bit, not approximately."""
     from ctlp_spark.functions import sketch as SK
 
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return SK.hll_sketch(events, ["event_type"], "user_id")
+    hll = SK.hll_sketch(events, ["event_type"], "user_id").select(
+        F.lit("hll").alias("sketch"),
+        F.col("event_type").alias("key"),
+        F.col("nonzero_registers").alias("a"),
+        F.col("s_scaled").alias("b"),
+    )
+    cms = SK.cms_counters(events, "user_id").select(
+        F.lit("cms").alias("sketch"),
+        F.col("depth").cast("string").alias("key"),
+        F.col("bucket").cast("bigint").alias("a"),
+        F.col("cnt").alias("b"),
+    )
+    return hll.unionByName(cms)
 
 
 def _h1_sql() -> str:
     from ctlp_spark.functions import sketch as SK
 
-    return SK.sql_hll_sketch("events", ["event_type"], "user_id")
-
-
-def q_h2_cms_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-Min frequency sketch of user_id over events: fixed 4×1024
-    integer counter table, one shuffle with map-side partial sum, merge =
-    add — the frequency twin of h1's cardinality sketch. The oracle
-    recomputes every counter (same md5 double-hash buckets) exactly."""
-    from ctlp_spark.functions import sketch as SK
-
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return SK.cms_counters(events, "user_id")
-
-
-def _h2_sql() -> str:
-    from ctlp_spark.functions import sketch as SK
-
-    return SK.sql_cms_counters("events", "user_id")
+    hll = SK.sql_hll_sketch("events", ["event_type"], "user_id")
+    cms = SK.sql_cms_counters("events", "user_id")
+    return (
+        "SELECT 'hll' AS sketch, event_type AS key,\n"
+        "       nonzero_registers AS a, s_scaled AS b\n"
+        f"FROM ({hll})\n"
+        "UNION ALL\n"
+        "SELECT 'cms' AS sketch, CAST(depth AS VARCHAR) AS key,\n"
+        "       CAST(bucket AS BIGINT) AS a, cnt AS b\n"
+        f"FROM ({cms})"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1074,18 +1087,11 @@ def q_s8_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_s9_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end learned-IVF search: kmeans cells (s8) + the s2-shaped
-    broadcast cell-equi-join + per-query top-k cosine. nprobe=1: only the
-    query's own learned cell is scored — the full IVF pipeline with no
-    precomputed label."""
-    from ctlp_spark.functions import ann as A
-
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return A.kmeans_topk(emb)
-
-
-def q_s10_kmeans_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """s9 with nprobe=3: each query probes its 3 nearest learned
+    """End-to-end learned-IVF search at BOTH probe widths in one driver
+    row (driver caps at 50 queries; round 3's separate s10 row was one of
+    the three that fell off): kmeans cells (s8) + the s2-shaped broadcast
+    cell-equi-join + per-query top-k cosine. nprobe=1 scores only the
+    query's own learned cell; nprobe=3 probes the 3 nearest learned
     centroids (integer probe ranking, explode multiplies only the tiny
     broadcast query side) — the IVF recall knob at fixed index cost
     (recall@5 0.32 -> 0.52 on the sf0.001 corpus, pinned in
@@ -1093,7 +1099,23 @@ def q_s10_kmeans_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ctlp_spark.functions import ann as A
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return A.kmeans_topk(emb, nprobe=3)
+    one = A.kmeans_topk(emb).withColumn("nprobe", F.lit(1).cast("bigint"))
+    three = A.kmeans_topk(emb, nprobe=3).withColumn(
+        "nprobe", F.lit(3).cast("bigint")
+    )
+    return one.unionByName(three)
+
+
+def _s9_sql() -> str:
+    from ctlp_spark.functions import ann as A
+
+    return (
+        "SELECT q, rank, neighbor, cos_ppm, CAST(1 AS BIGINT) AS nprobe\n"
+        f"FROM ({A.sql_kmeans_topk()})\n"
+        "UNION ALL\n"
+        "SELECT q, rank, neighbor, cos_ppm, CAST(3 AS BIGINT) AS nprobe\n"
+        f"FROM ({A.sql_kmeans_topk(nprobe=3)})"
+    )
 
 
 def _m_sql(kind: str) -> str:
@@ -1117,8 +1139,6 @@ def _ann_sql(kind: str) -> str:
         "multiprobe": A.sql_multiprobe_candidates(n_queries=10),
         "quantize": A.sql_quantize_digest(),
         "kmeans": A.sql_kmeans_ivf(),
-        "kmeans_topk": A.sql_kmeans_topk(),
-        "kmeans_multiprobe": A.sql_kmeans_topk(nprobe=3),
     }[kind]
 
 
@@ -1146,7 +1166,6 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p1_route_counts": q_p1_route_counts,
-        "p1_route_counts_pandas": q_p1_route_counts_pandas,
         "r1_kept_rows": q_r1_kept_rows,
         "r2_dropped_rows": q_r2_dropped_rows,
         "j1_enrich_kept": q_j1_enrich_kept,
@@ -1182,7 +1201,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s7_quantize_digest": q_s7_quantize_digest,
         "s8_kmeans_cells": q_s8_kmeans_cells,
         "s9_kmeans_topk": q_s9_kmeans_topk,
-        "s10_kmeans_multiprobe": q_s10_kmeans_multiprobe,
         "m1_media_metadata": q_m1_media_metadata,
         "m2_decode_media": q_m2_decode_media,
         "m3_frame_sample": q_m3_frame_sample,
@@ -1196,15 +1214,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c8_daily_distinct_convs": q_c8_daily_distinct_convs,
         "c9_context_windows": q_c9_context_windows,
         "c10_session_windows": q_c10_session_windows,
-        "h1_user_sketch": q_h1_user_sketch,
-        "h2_cms_counters": q_h2_cms_counters,
+        "h1_sketches": q_h1_sketches,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
         "p1_route_counts": _ROUTE_COUNTS_SQL,
-        "p1_route_counts_pandas": _ROUTE_COUNTS_SQL,
         "r1_kept_rows": _KEPT_ROWS_SQL,
         "r2_dropped_rows": _DROPPED_ROWS_SQL,
         "j1_enrich_kept": _ENRICH_SQL,
@@ -1243,8 +1259,7 @@ def oracle_sql() -> dict[str, str]:
         "s6_multiprobe_candidates": _ann_sql("multiprobe"),
         "s7_quantize_digest": _ann_sql("quantize"),
         "s8_kmeans_cells": _ann_sql("kmeans"),
-        "s9_kmeans_topk": _ann_sql("kmeans_topk"),
-        "s10_kmeans_multiprobe": _ann_sql("kmeans_multiprobe"),
+        "s9_kmeans_topk": _s9_sql(),
         "m1_media_metadata": _M1_SQL,
         "m2_decode_media": _m_sql("decode"),
         "m3_frame_sample": _m_sql("frames"),
@@ -1258,6 +1273,5 @@ def oracle_sql() -> dict[str, str]:
         "c8_daily_distinct_convs": _C8_SQL,
         "c9_context_windows": _c9_sql(),
         "c10_session_windows": _C10_SQL,
-        "h1_user_sketch": _h1_sql(),
-        "h2_cms_counters": _h2_sql(),
+        "h1_sketches": _h1_sql(),
     }
