@@ -568,11 +568,20 @@ def _neardup_pairs_cell(emb: DataFrame, threshold_ppm: int) -> DataFrame:
         for j in range(V.shape[1]):
             nsq = nsq + V[:, j] * V[:, j]
         norms = np.sqrt(nsq)
-        # vec_a < vec_b by construction: ids sorted ascending, ia < ib
-        ia, ib = np.triu_indices(m, k=1)
+        # vec_a < vec_b by construction: ids sorted ascending, ia < ib.
+        # Pair indices are generated PER CHUNK from the linear pair index
+        # (row r of the strict upper triangle starts at starts[r]) — a
+        # materialized triu_indices(m) would allocate O(m^2) index memory
+        # up front (~80 GB at m=100k), defeating the chunk cap.
+        total = m * (m - 1) // 2
+        starts = np.concatenate(
+            ([0], np.cumsum(np.arange(m - 1, 0, -1)))
+        )[:m]
         outs = []
-        for s in range(0, len(ia), _CELL_PAIR_CHUNK):
-            ca, cb = ia[s : s + _CELL_PAIR_CHUNK], ib[s : s + _CELL_PAIR_CHUNK]
+        for s in range(0, total, _CELL_PAIR_CHUNK):
+            t = np.arange(s, min(s + _CELL_PAIR_CHUNK, total))
+            ca = np.searchsorted(starts, t, side="right") - 1
+            cb = t - starts[ca] + ca + 1
             acc = np.zeros(len(ca))
             for j in range(V.shape[1]):
                 acc = acc + V[ca, j] * V[cb, j]
@@ -917,9 +926,15 @@ def sql_kmeans_ivf(
        unnest(generate_series(1, {dim})) AS u(j)
   GROUP BY a.cell, u.j
 )""")
+        # empty cell => keep previous centroid, matching _kmeans_fit's
+        # newC = C.copy() rule. NB the LEFT JOIN's NULL row survives
+        # DuckDB's list() (list(NULL) = [NULL], not NULL), so a plain
+        # coalesce(list(...), p.c) would never fall back — guard on the
+        # joined row count instead.
         parts.append(f"""c{i} AS (
   SELECT p.cell,
-         coalesce(list(s.s // s.n ORDER BY s.j), p.c) AS c
+         CASE WHEN count(s.j) = 0 THEN p.c
+              ELSE list(s.s // s.n ORDER BY s.j) END AS c
   FROM {prev} p LEFT JOIN s{i} s USING (cell)
   GROUP BY p.cell, p.c
 )""")

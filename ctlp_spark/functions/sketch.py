@@ -45,8 +45,11 @@ _RMAX = 49  # rho range: 1..49 over a 48-bit suffix; 0 = empty register
 
 
 def _check_p(p: int) -> None:
-    if p not in (4, 8, 12, 16):
-        raise ValueError(f"p must be one of 4/8/12/16 (hex-aligned), got {p}")
+    # p=16 is rejected: s_scaled is bounded by m * 2^49 = 2^65 there,
+    # overflowing BIGINT in both engines (the 2^61 bound in the module
+    # docstring only holds for p <= 12)
+    if p not in (4, 8, 12):
+        raise ValueError(f"p must be one of 4/8/12 (hex-aligned), got {p}")
 
 
 def _rho_exprs(hex_col: str, p: int) -> tuple[str, str]:

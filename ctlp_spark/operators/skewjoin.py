@@ -33,10 +33,19 @@ def salted_join(
     on: str,
     how: str = "inner",
     buckets: int = 16,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Row-identical to ``left.join(right, on, how)`` with the shuffle key
     salted. ``how`` in {inner, left}; the salt never leaks into the
-    output."""
+    output.
+
+    ``salt_cols``: columns hashed (with the key) to derive the salt.
+    Default = the key plus the first 3 non-key columns in schema order —
+    hashing every column of a wide row costs per-row CPU without adding
+    meaningful spread (3 salted columns already decorrelate rows within a
+    hot key). Any deterministic subset keeps the two invariants that
+    matter: same row => same salt on every run/partitioning, and the
+    result is row-identical to the plain join regardless of spread."""
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     if buckets < 2:
@@ -44,10 +53,15 @@ def salted_join(
     overlap = set(left.columns) & set(right.columns) - {on}
     if overlap:
         raise ValueError(f"ambiguous non-key columns on both sides: {sorted(overlap)}")
+    if salt_cols is None:
+        salt_cols = [on] + [c for c in left.columns if c != on][:3]
+    missing = [c for c in salt_cols if c not in left.columns]
+    if missing:
+        raise ValueError(f"salt_cols not in left schema: {missing}")
     # content-hash salt: deterministic (Murmur3, fixed seed) and
     # partition-invariant — same row => same salt on every run/layout
     salted_left = left.withColumn(
-        _SALT, F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(buckets))
+        _SALT, F.pmod(F.hash(*[F.col(c) for c in salt_cols]), F.lit(buckets))
     )
     replicated_right = right.withColumn(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))

@@ -71,19 +71,56 @@ FROM ev
 # get_json_object: the Jackson parser behind get_json_object contends
 # across 32 local threads (CLAUDE.md host quirks), and an interleaved
 # same-JVM A/B shows the regex path ~2x faster on the full derivation.
-# Gated to this flat generated props shape ('{"k": <int>}'); nullif
+# OPT-IN per source: the regex is not JSON-structure-aware (a literal
+# '"k": <int>' inside an escaped-JSON string value would be extracted,
+# and a non-integer k yields NULL where get_json_object returns the
+# string), so it is only legal on sources whose props column is the flat
+# generated '{"k": <int>}' shape — gate a new source once at ingest with
+# ``assert_flat_props`` or pass extractor="json" to
+# ``transcripts_from_events`` for the structure-aware parse. nullif
 # restores get_json_object's missing-key => NULL (regexp_extract returns
 # '' on no-match, which ANSI CAST would reject). The DuckDB twin keeps
-# real JSON extraction, so every oracle query cross-checks this fast
-# path against a true JSON parse.
+# real JSON extraction, so every oracle query cross-checks the fast
+# path against a true JSON parse on the corpus it is gated to.
 TRANSCRIPTS_SQL_SPARK = _TRANSCRIPTS_TEMPLATE.format(
     # NB doubled backslashes: Spark's SQL parser unescapes string
     # literals, so the literal must carry \\s for the regex to see \s
     json_k="nullif(regexp_extract(props, '\"k\"\\\\s*:\\\\s*(-?\\\\d+)', 1), '')"
 )
+# structure-aware variant for real-JSON sources (slower under thread
+# contention; correct on any JSON)
+TRANSCRIPTS_SQL_SPARK_JSON = _TRANSCRIPTS_TEMPLATE.format(
+    json_k="get_json_object(props, '$.k')"
+)
 TRANSCRIPTS_SQL_DUCKDB = _TRANSCRIPTS_TEMPLATE.format(
     json_k="json_extract_string(props, '$.k')"
 )
+
+# the exact flat shape the regex fast path is safe on (whitespace-tolerant
+# single integer key "k", nothing else in the object); Column-API rlike
+# takes the pattern verbatim — no SQL-literal double-escaping here
+_FLAT_PROPS_RE = r'^\{"k"\s*:\s*-?\d+\}$'
+
+
+def assert_flat_props(events: DataFrame, col: str = "props") -> None:
+    """One-shot ingest gate for the regex fast path: scan ``col`` and
+    raise if any non-NULL value deviates from the flat '{"k": <int>}'
+    shape. Run once when onboarding a source (a full scan — not per
+    query); sources that fail must use extractor="json"."""
+    from pyspark.sql import functions as F
+
+    bad = (
+        events.where(
+            F.col(col).isNotNull() & ~F.col(col).rlike(_FLAT_PROPS_RE)
+        )
+        .limit(1)
+        .count()
+    )
+    if bad:
+        raise ValueError(
+            f"column {col!r} carries non-flat JSON — the regexp_extract "
+            "fast path is unsafe here; use extractor='json'"
+        )
 
 # Rule fixture over the derived transcripts. Order is semantic: even-k error
 # rows match BOTH drop-tool-search and drop-timeouts; first-match must
@@ -137,9 +174,22 @@ END
 """
 
 
-def transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Load events.parquet and derive the authoritative transcript shape."""
+def transcripts_from_events(
+    spark: SparkSession, sf_dir: str, extractor: str = "regex"
+) -> DataFrame:
+    """Load events.parquet and derive the authoritative transcript shape.
+
+    ``extractor="regex"`` (default) uses the contention-free regexp
+    fast path — legal because the generated corpus's props column is the
+    flat '{"k": <int>}' shape (gate new sources with
+    ``assert_flat_props``). ``extractor="json"`` uses get_json_object:
+    structure-aware, correct on arbitrary JSON."""
+    if extractor not in ("regex", "json"):
+        raise ValueError(f"extractor must be regex|json, got {extractor!r}")
     spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView(
         "events"
     )
-    return spark.sql(TRANSCRIPTS_SQL_SPARK)
+    return spark.sql(
+        TRANSCRIPTS_SQL_SPARK if extractor == "regex"
+        else TRANSCRIPTS_SQL_SPARK_JSON
+    )

@@ -144,6 +144,48 @@ def test_kmeans_ivf_matches_duckdb_twin(spark):
     assert len(sizes) == A.KM_K and min(sizes.values()) > 0
 
 
+def test_kmeans_ivf_empty_cell_matches_duckdb_twin(spark, tmp_path):
+    """Duplicate seed vectors force empty cells in every Lloyd round
+    (argmin ties assign to the lowest cell id, so a duplicated seed's
+    higher cell never receives a member). Spark keeps the previous
+    centroid for an empty cell (_kmeans_fit: newC = C.copy()); the DuckDB
+    twin must match — NB DuckDB's list() keeps the LEFT JOIN's NULL row
+    (list(NULL) = [NULL], not NULL), so the twin guards on count(s.j)
+    instead of coalesce(list(...), prev)."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ctlp_spark.functions import ann as A
+    from ctlp_spark.functions.dedup import release_caches
+
+    rng = np.random.default_rng(7)
+    base = (rng.standard_normal((3, A.DIM)) * 0.4).astype(np.float32)
+    # 30 vectors drawn from only 3 distinct values: the KM_K=16 seeds are
+    # duplicated by pigeonhole, guaranteeing empty cells
+    tbl = pa.table({
+        "vec_id": pa.array(range(30), pa.int64()),
+        "embedding": pa.array(
+            [base[i % 3].tolist() for i in range(30)],
+            pa.list_(pa.float32()),
+        ),
+        "label": pa.array([0] * 30, pa.int32()),
+    })
+    path = str(tmp_path / "dup_emb.parquet")
+    pq.write_table(tbl, path)
+
+    emb = spark.read.parquet(path)
+    got = sorted(map(tuple, A.kmeans_ivf(emb).collect()))
+    release_caches()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{path}'")
+    want = sorted(map(tuple, con.sql(A.sql_kmeans_ivf()).fetchall()))
+    assert got == want
+    # the corpus has only 3 distinct points, so at most 3 populated cells
+    assert len({c for _, c, _ in got}) <= 3
+
+
 def test_kmeans_ivf_partitioning_invariant(spark):
     """Same cells and distances regardless of input partitioning — the
     integer math has no fold-order dependence and seeding is content-

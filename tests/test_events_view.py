@@ -1,0 +1,56 @@
+"""The regexp-extract fast path for ``$.k`` is OPT-IN: it is only legal
+on sources whose props column is the flat generated '{"k": <int>}' shape.
+These tests pin (a) fast path == structure-aware get_json_object on the
+gated corpus, (b) the ingest gate accepts the generated corpus and
+rejects real-JSON shapes the regex would mis-extract."""
+
+from __future__ import annotations
+
+import pytest
+
+from ctlp_spark.sources.events_view import (
+    assert_flat_props,
+    transcripts_from_events,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_extractors_agree_on_flat_corpus(spark):
+    fast = transcripts_from_events(spark, SF_DIR).collect()
+    safe = transcripts_from_events(spark, SF_DIR, extractor="json").collect()
+    assert sorted(map(tuple, fast)) == sorted(map(tuple, safe))
+
+
+def test_bad_extractor_raises(spark):
+    with pytest.raises(ValueError, match="regex|json"):
+        transcripts_from_events(spark, SF_DIR, extractor="jackson")
+
+
+def test_ingest_gate_accepts_generated_corpus(spark):
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    assert_flat_props(events)  # must not raise
+
+
+@pytest.mark.parametrize(
+    "props",
+    [
+        '{"msg": "escaped \\"k\\": 7 inside a string", "k": 1}',
+        '{"k": "not-an-int"}',
+        '{"k": 3, "extra": true}',
+        "not json at all",
+    ],
+)
+def test_ingest_gate_rejects_real_json(spark, props):
+    events = spark.createDataFrame(
+        [("e1", props)], "event_id string, props string"
+    )
+    with pytest.raises(ValueError, match="non-flat JSON"):
+        assert_flat_props(events)
+
+
+def test_ingest_gate_ignores_nulls(spark):
+    events = spark.createDataFrame(
+        [("e1", None), ("e2", '{"k": -12}')], "event_id string, props string"
+    )
+    assert_flat_props(events)

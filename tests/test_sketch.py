@@ -99,6 +99,9 @@ def test_bad_p_raises(spark):
     df = spark.range(5).select(F.col("id").alias("v"))
     with pytest.raises(ValueError, match="p must be"):
         SK.hll_partials(df, [], "v", p=10)
+    # p=16 would overflow BIGINT (s_scaled <= m * 2^49 = 2^65): rejected
+    with pytest.raises(ValueError, match="p must be"):
+        SK.hll_partials(df, [], "v", p=16)
     with pytest.raises(ValueError, match="w must be"):
         SK.cms_counters(df, "v", w=1000)
 
