@@ -178,6 +178,73 @@ def _assign_components(
     }
 
 
+# Above this many candidate pairs in one micro-batch, the group decision
+# runs DISTRIBUTED (connected_components + joins) instead of collecting
+# the pair set to a driver union-find. Steady-state streams stay under it
+# (band buckets are md5-uniform, candidates ∝ true near-dups); a 100 TB
+# backfill replayed through the stream crosses it and never funnels the
+# pair set through the driver.
+DISTRIBUTED_DECISION_THRESHOLD = 20_000
+
+
+def _assign_components_distributed(
+    spark: SparkSession,
+    arrivals: DataFrame,
+    verified: DataFrame,
+    prior: DataFrame | None,
+) -> DataFrame:
+    """Distributed twin of :func:`_assign_components`: the same decision
+    (component label = min prior group label if the component touches any
+    assigned doc, else min new doc id; assigned docs never relabeled)
+    computed without collecting pairs or components to the driver.
+
+    * ``connected_components`` (the batch d8 operator) labels every doc
+      touched by a verified edge with its component's min doc id — the
+      only driver traffic is its one convergence scalar per round.
+    * per-component labels then come from one aggregation over the
+      component table joined (hash join, id keys) to prior assignments.
+
+    Returns (doc_id, group_id) for NEW docs only."""
+    from ctlp_spark.functions.dedup import connected_components
+
+    arrivals = arrivals.localCheckpoint()  # tiny: this batch's doc ids
+    if prior is not None:
+        arrivals = arrivals.join(prior, "doc_id", "left_anti")
+    nodes = (
+        verified.select(F.col("doc_a").alias("doc"))
+        .unionByName(verified.select(F.col("doc_b").alias("doc")))
+        .distinct()
+    )
+    comp = connected_components(nodes, verified).withColumnsRenamed(
+        {"node": "doc_id", "label": "comp"}
+    )
+    if prior is not None:
+        comp = comp.join(prior, "doc_id", "left")
+    else:
+        comp = comp.withColumn("group_id", F.lit(None).cast("bigint"))
+    # component label: min prior group label if any member is assigned,
+    # else min NEW member doc id (matches the driver union-find exactly —
+    # a new doc id can be smaller than every prior label, so min over
+    # prior labels and new ids must NOT be mixed into one min)
+    labels = comp.groupBy("comp").agg(
+        F.min("group_id").alias("fixed_min"),
+        F.min(
+            F.when(F.col("group_id").isNull(), F.col("doc_id"))
+        ).alias("new_min"),
+    )
+    return (
+        arrivals.join(
+            comp.select("doc_id", "comp"), "doc_id", "left"
+        )
+        .join(labels, "comp", "left")
+        .select(
+            "doc_id",
+            # isolated new doc (no verified edge): its own singleton group
+            F.coalesce("fixed_min", "new_min", "doc_id").alias("group_id"),
+        )
+    )
+
+
 def run_streaming_neardup(
     spark: SparkSession,
     src_dir: str,
@@ -187,12 +254,21 @@ def run_streaming_neardup(
     threshold_ppm: int = 300_000,
     schema: str = "doc_id bigint, text string",
     max_files_per_trigger: int | None = None,
+    distributed_threshold: int = DISTRIBUTED_DECISION_THRESHOLD,
 ):
     """Start the streaming near-dup decision; returns the StreamingQuery
     (Trigger.AvailableNow — one bounded drain per call, resumable from the
     checkpoint). Assignments land under ``{out_dir}/assignments/batch={id}``
     as (doc_id, group_id) rows; read them back with
-    :func:`neardup_assignments`."""
+    :func:`neardup_assignments`.
+
+    The per-batch group decision has two equivalent engines: a driver
+    union-find for small batches (lower latency — no CC rounds), and the
+    distributed ``connected_components`` path above
+    ``distributed_threshold`` candidate pairs (no driver collect of the
+    pair set — the backfill-safe route; set the threshold to 0 to force
+    it). Equality of the two engines is pinned in
+    tests/test_streaming_neardup.py."""
     reader = spark.readStream.schema(schema).format("parquet")
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -201,40 +277,64 @@ def run_streaming_neardup(
     assign_root = os.path.join(out_dir, "assignments")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        rows = batch_df.distinct().collect()
-        new_ids = sorted(r.doc_a for r in rows if r.doc_b == _ARRIVAL)
-        pairs = [(r.doc_a, r.doc_b) for r in rows if r.doc_b != _ARRIVAL]
-        prior: dict[int, int] = {}
+        # the stateful operator re-emits a pair once per shared band:
+        # distinct() first, then ONE materialization via localCheckpoint —
+        # both decision engines read it repeatedly (count, split, verify)
+        cands_all = batch_df.distinct().localCheckpoint()
+        pair_df = cands_all.where(F.col("doc_b") != _ARRIVAL)
+        n_cands = pair_df.count()
+
+        prior_df = None
         if os.path.isdir(assign_root) and any(os.scandir(assign_root)):
             prior_df = (
                 spark.read.parquet(assign_root)
                 .where(F.col("batch") != batch_id)  # replay excludes itself
                 .select("doc_id", "group_id")
             )
-            # only partners referenced by this batch's pairs are needed
-            need = {d for p in pairs for d in p}
-            if need:
-                prior = {
-                    r.doc_id: r.group_id
-                    for r in prior_df.where(
-                        F.col("doc_id").isin([int(d) for d in need])
-                    ).collect()
-                }
-        verified: list[tuple[int, int]] = []
-        if pairs:
+
+        if n_cands > distributed_threshold:
             docs_all = spark.read.parquet(src_dir)
-            cand_df = spark.createDataFrame(pairs, "doc_a bigint, doc_b bigint")
-            verified = [
-                (r.doc_a, r.doc_b)
-                for r in jaccard_on_candidates(
-                    docs_all, cand_df, n=n, threshold_ppm=threshold_ppm
-                ).select("doc_a", "doc_b").collect()
-            ]
-        assigned = _assign_components(new_ids, verified, prior)
-        out = spark.createDataFrame(
-            [(int(d), int(g)) for d, g in sorted(assigned.items())] or [],
-            "doc_id bigint, group_id bigint",
-        )
+            verified_df = jaccard_on_candidates(
+                docs_all, pair_df, n=n, threshold_ppm=threshold_ppm
+            ).select("doc_a", "doc_b")
+            arrivals = cands_all.where(
+                F.col("doc_b") == _ARRIVAL
+            ).select(F.col("doc_a").alias("doc_id"))
+            out = _assign_components_distributed(
+                spark, arrivals, verified_df, prior_df
+            ).orderBy("doc_id")
+        else:
+            rows = cands_all.collect()
+            new_ids = sorted(r.doc_a for r in rows if r.doc_b == _ARRIVAL)
+            pairs = [(r.doc_a, r.doc_b) for r in rows if r.doc_b != _ARRIVAL]
+            prior: dict[int, int] = {}
+            if prior_df is not None:
+                # only partners referenced by this batch's pairs are needed
+                need = {d for p in pairs for d in p}
+                if need:
+                    prior = {
+                        r.doc_id: r.group_id
+                        for r in prior_df.where(
+                            F.col("doc_id").isin([int(d) for d in need])
+                        ).collect()
+                    }
+            verified: list[tuple[int, int]] = []
+            if pairs:
+                docs_all = spark.read.parquet(src_dir)
+                cand_df = spark.createDataFrame(
+                    pairs, "doc_a bigint, doc_b bigint"
+                )
+                verified = [
+                    (r.doc_a, r.doc_b)
+                    for r in jaccard_on_candidates(
+                        docs_all, cand_df, n=n, threshold_ppm=threshold_ppm
+                    ).select("doc_a", "doc_b").collect()
+                ]
+            assigned = _assign_components(new_ids, verified, prior)
+            out = spark.createDataFrame(
+                [(int(d), int(g)) for d, g in sorted(assigned.items())] or [],
+                "doc_id bigint, group_id bigint",
+            )
         out.write.mode("overwrite").parquet(
             os.path.join(assign_root, f"batch={batch_id}")
         )

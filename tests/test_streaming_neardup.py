@@ -126,3 +126,67 @@ def test_within_batch_transitive_component(spark, dirs):
     q.awaitTermination()
     got = _assignments(spark, out)
     assert got == {7: 7, 8: 7, 9: 7}
+
+
+def test_distributed_decision_equals_driver_decision(spark, dirs, tmp_path):
+    """The two per-batch decision engines (driver union-find vs
+    distributed connected-components) must produce IDENTICAL assignments
+    on the same stream — including restarts, group joins across batches,
+    transitive in-batch components, and singletons."""
+    src, out, ckpt = dirs
+    _write_doc(src, 1, _VOCAB[1])
+    _write_doc(src, 2, _VOCAB[2])
+    _write_doc(src, 3, _neardup_of(_VOCAB[1], "varx"))
+    _write_doc(src, 4, _neardup_of(_VOCAB[2], "vary"))
+    _write_doc(src, 5, _neardup_of(_VOCAB[1], "varz"))
+    _write_doc(src, 6, _VOCAB[6])
+    out2, ckpt2 = str(tmp_path / "out2"), str(tmp_path / "ckpt2")
+    for o, c, thr in ((out, ckpt, None), (out2, ckpt2, 0)):
+        kwargs = {"max_files_per_trigger": 2}
+        if thr is not None:
+            kwargs["distributed_threshold"] = thr  # 0 => force distributed
+        q = run_streaming_neardup(spark, src, o, c, **kwargs)
+        q.awaitTermination()
+        # second drain with one more near-dup: prior-assignment join path
+        _write_doc(src, 9, _neardup_of(_VOCAB[1], "late"))
+        q = run_streaming_neardup(spark, src, o, c, **kwargs)
+        q.awaitTermination()
+        os.remove(os.path.join(src, "doc-0009.parquet"))
+    driver_got = _assignments(spark, out)
+    dist_got = _assignments(spark, out2)
+    assert driver_got == dist_got
+    assert driver_got == {1: 1, 2: 2, 3: 1, 4: 2, 5: 1, 6: 6, 9: 1}
+
+
+def test_large_batch_never_collects_pair_set(spark, dirs, monkeypatch):
+    """A backfill-sized micro-batch (500 identical docs => C(500,2) =
+    124,750 candidate pairs, over the 20k default threshold) must take
+    the distributed route: the driver union-find must never run, and the
+    assignments must still be the single group labeled by the min id."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ctlp_spark.streaming import neardup as ND
+
+    src, out, ckpt = dirs
+    n = 500
+    tbl = pa.Table.from_pandas(
+        pd.DataFrame({
+            "doc_id": pd.array(range(1, n + 1), dtype="int64"),
+            "text": [_VOCAB[1]] * n,
+        }),
+        preserve_index=False,
+    )
+    pq.write_table(tbl, os.path.join(src, "backfill.parquet"))
+
+    def _forbidden(*a, **k):
+        raise AssertionError(
+            "driver union-find ran on a backfill-sized batch"
+        )
+
+    monkeypatch.setattr(ND, "_assign_components", _forbidden)
+    q = run_streaming_neardup(spark, src, out, ckpt)
+    q.awaitTermination()
+    got = _assignments(spark, out)
+    assert got == {i: 1 for i in range(1, n + 1)}
