@@ -1,0 +1,170 @@
+"""sf1 scale-evidence run (VERDICT r3 item 4): the flagship pipeline at
+100M turns (10x the bench's sf0.1 corpus — the largest it has ever run)
+plus the d7/d8 dedup operators at a 200k-doc corpus (4x round 3's 10x
+evidence), recording wall time, throughput, JVM peak RSS, and candidate
+ratios.
+
+The corpus is generated deterministically in 32 chunks (seed = 42 + i,
+conv ids prefixed per chunk so they stay globally unique) and cached
+under /tmp/ctlp_sf1; sinks go to /dev/shm like bench.py. Run it ALONE
+(never concurrently with tests/bench — CLAUDE.md bench discipline):
+
+    python scripts/sf1_evidence.py
+
+Prints one JSON line; results are recorded in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import time
+
+ROOT = "/tmp/ctlp_sf1"
+N_ROWS = int(os.environ.get("CTLP_SF1_ROWS", 100_000_000))
+N_DOCS = int(os.environ.get("CTLP_SF1_DOCS", 200_000))
+CHUNKS = 32
+
+
+def _jvm_peak_rss_kb() -> int | None:
+    """VmHWM of the Spark JVM child process (peak resident set)."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["pgrep", "-f", "org.apache.spark.deploy.SparkSubmit"],
+            capture_output=True, text=True,
+        ).stdout.split()
+        for pid in out:
+            with open(f"/proc/{pid}/status") as fh:
+                for line in fh:
+                    if line.startswith("VmHWM:"):
+                        return int(line.split()[1])
+    except Exception:
+        return None
+    return None
+
+
+def _data_dir() -> str:
+    d = os.path.join(ROOT, f"transcripts_{N_ROWS}")
+    done = os.path.join(d, "_DONE")
+    if os.path.exists(done):
+        return d
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ctlp_spark.gen import ARROW_SCHEMA, gen_transcripts
+
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    per = (N_ROWS + CHUNKS - 1) // CHUNKS
+    for i in range(CHUNKS):
+        n = min(per, N_ROWS - i * per)
+        if n <= 0:
+            break
+        pdf = gen_transcripts(n, seed=42 + i, skew=True)
+        # per-chunk conv-id prefix keeps conversations globally unique
+        pdf["conv_id"] = f"c{i:02d}-" + pdf["conv_id"]
+        tbl = pa.Table.from_pandas(
+            pdf, schema=ARROW_SCHEMA, preserve_index=False
+        )
+        pq.write_table(tbl, os.path.join(d, f"part-{i:05d}.parquet"))
+        sys.stderr.write(f"gen chunk {i + 1}/{CHUNKS} ({n} rows)\n")
+    with open(done, "w") as fh:
+        fh.write(str(N_ROWS))
+    return d
+
+
+def main() -> None:
+    from ctlp_spark.functions import dedup as D
+    from ctlp_spark.gen import (
+        JSON_COLUMNS,
+        default_rules,
+        role_dim_pdf,
+        tool_dim_pdf,
+    )
+    from ctlp_spark.operators.pipeline import (
+        MATCHED_RULE_COL,
+        enrich,
+        route,
+        tag,
+    )
+    from ctlp_spark.session import get_spark
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    data_dir = _data_dir()
+
+    shm = "/dev/shm/ctlp_sf1_out" if os.path.isdir("/dev/shm") else "/tmp/ctlp_sf1_out"
+    os.makedirs(shm, exist_ok=True)
+    spark = get_spark(app_name="sf1-evidence", cpus=32, shuffle_partitions=64)
+    cfg = default_rules()
+    role_dim = spark.createDataFrame(role_dim_pdf())
+    tool_dim = spark.createDataFrame(tool_dim_pdf())
+    df = spark.read.parquet(data_dir)
+    n_rows = df.count()
+
+    def run_once() -> float:
+        t0 = time.perf_counter()
+        tagged = tag(df, cfg, engine="native", json_columns=JSON_COLUMNS,
+                     json_extractor="regex")
+        kept, dropped = route(tagged)
+        enrich(kept, role_dim=role_dim, tool_dim=tool_dim).write.mode(
+            "overwrite"
+        ).parquet(f"{shm}/kept")
+        (
+            dropped.write.mode("overwrite")
+            .partitionBy(MATCHED_RULE_COL)
+            .parquet(f"{shm}/dropped")
+        )
+        return time.perf_counter() - t0
+
+    run_once()  # warm: codegen + JIT + page cache
+    times = [run_once() for _ in range(2)]
+    med = statistics.median(times)
+    out = {
+        "rows": n_rows,
+        "flagship_sec": round(med, 2),
+        "flagship_sec_all": [round(t, 2) for t in times],
+        "turns_per_sec": int(n_rows / med),
+    }
+    shutil.rmtree(shm, ignore_errors=True)
+
+    # d7/d8 at 200k docs (4x the round-3 scale evidence's 50k "big")
+    from scale_evidence import DOC_SCHEMA, gen_documents, write_parquet
+
+    docs_p = os.path.join(ROOT, f"documents_{N_DOCS}.parquet")
+    if not os.path.exists(docs_p):
+        write_parquet(gen_documents(N_DOCS, seed=11), docs_p, DOC_SCHEMA)
+    docs = spark.read.parquet(docs_p)
+
+    def timed(fn, reps: int = 2) -> tuple[float, int]:
+        n = fn()  # warm
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            n = fn()
+            ts.append(time.perf_counter() - t0)
+        return statistics.median(ts), n
+
+    sec, n = timed(lambda: D.neardup_pipeline(docs).count())
+    out["d7_sec"] = round(sec, 2)
+    out["d7_pairs"] = n
+    sec, n = timed(lambda: D.neardup_groups(docs).count())
+    out["d8_sec"] = round(sec, 2)
+    out["d8_rows"] = n
+    out["n_docs"] = N_DOCS
+    D.release_caches()
+
+    peak = _jvm_peak_rss_kb()
+    out["jvm_peak_rss_gb"] = round(peak / 1048576, 2) if peak else None
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()
