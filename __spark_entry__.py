@@ -1099,11 +1099,7 @@ def q_s9_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ctlp_spark.functions import ann as A
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    one = A.kmeans_topk(emb).withColumn("nprobe", F.lit(1).cast("bigint"))
-    three = A.kmeans_topk(emb, nprobe=3).withColumn(
-        "nprobe", F.lit(3).cast("bigint")
-    )
-    return one.unionByName(three)
+    return A.kmeans_topk_multi(emb, nprobes=(1, 3))
 
 
 def _s9_sql() -> str:

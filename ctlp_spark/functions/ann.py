@@ -950,22 +950,17 @@ WHERE rn = 1"""
     return "WITH " + ",\n".join(parts) + final
 
 
-def kmeans_topk(
-    emb: DataFrame, k: int = 5, n_queries: int = 10, kernel: str = "expr",
-    nprobe: int = 1,
+def _kmeans_topk_within_cells(
+    emb: DataFrame,
+    quant: DataFrame,
+    C: "np.ndarray",
+    k: int,
+    n_queries: int,
+    kernel: str,
+    nprobe: int,
 ) -> DataFrame:
-    """IVF SEARCH over the learned cells: top-k cosine neighbors for the
-    query set (vec_id < n_queries), scored only within each query's own
-    k-means cell (nprobe=1) — the end-to-end learned-IVF path (s2 uses a
-    precomputed label as the cell; this composes ``kmeans_ivf``'s learned
-    assignment with the same broadcast equi-join + per-query top-k shape).
-
-    Scale shape identical to s2: the cell table joins back to the corpus
-    by id (hash join), queries broadcast, scoring happens only inside the
-    query's cell (join key = cell), final per-query top-k is a window
-    over ≤ |cell| candidates. kernel="expr" by the s1/s2 measurement
-    (pair-shaped relation, small per-row work)."""
-    quant, C = _kmeans_fit(emb)
+    """Search half of kmeans_topk against an already-fitted model: the
+    s2-shaped broadcast cell-equi-join + per-query top-k cosine."""
     cells = quant.select(
         "vec_id", _km_assign_udf(C)(F.col("q")).alias("a")
     ).select("vec_id", "a.cell")
@@ -1013,6 +1008,49 @@ def kmeans_topk(
         .where(F.col("rank") <= k)
         .select("q", "rank", "neighbor", "cos_ppm")
     )
+
+
+def kmeans_topk(
+    emb: DataFrame, k: int = 5, n_queries: int = 10, kernel: str = "expr",
+    nprobe: int = 1,
+) -> DataFrame:
+    """IVF SEARCH over the learned cells: top-k cosine neighbors for the
+    query set (vec_id < n_queries), scored only within each query's own
+    k-means cell (nprobe=1) — the end-to-end learned-IVF path (s2 uses a
+    precomputed label as the cell; this composes ``kmeans_ivf``'s learned
+    assignment with the same broadcast equi-join + per-query top-k shape).
+
+    Scale shape identical to s2: the cell table joins back to the corpus
+    by id (hash join), queries broadcast, scoring happens only inside the
+    query's cell (join key = cell), final per-query top-k is a window
+    over ≤ |cell| candidates. kernel="expr" by the s1/s2 measurement
+    (pair-shaped relation, small per-row work)."""
+    quant, C = _kmeans_fit(emb)
+    return _kmeans_topk_within_cells(
+        emb, quant, C, k, n_queries, kernel, nprobe
+    )
+
+
+def kmeans_topk_multi(
+    emb: DataFrame,
+    k: int = 5,
+    n_queries: int = 10,
+    kernel: str = "expr",
+    nprobes: tuple[int, ...] = (1, 3),
+) -> DataFrame:
+    """``kmeans_topk`` at several probe widths from ONE shared Lloyd fit
+    (the fit's driver model sync and quantization run once, not per
+    width); output adds an ``nprobe`` bigint column. Row-identical to
+    unioning independent ``kmeans_topk`` calls — pinned in
+    test_ann_kernels.py."""
+    quant, C = _kmeans_fit(emb)
+    out = None
+    for nprobe in nprobes:
+        part = _kmeans_topk_within_cells(
+            emb, quant, C, k, n_queries, kernel, nprobe
+        ).withColumn("nprobe", F.lit(nprobe).cast("bigint"))
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 def sql_kmeans_topk(

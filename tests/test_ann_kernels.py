@@ -277,6 +277,28 @@ def test_kmeans_topk_matches_duckdb_twin(spark):
     assert len(got) > 0
 
 
+def test_kmeans_topk_multi_equals_independent_calls(spark):
+    """kmeans_topk_multi (one shared Lloyd fit serving every probe
+    width) must be row-identical to unioning independent kmeans_topk
+    calls — the fit is deterministic, so sharing it is purely a cost
+    optimization."""
+    from ctlp_spark.functions import ann as A
+    from ctlp_spark.functions.dedup import release_caches
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    multi = sorted(
+        map(tuple, A.kmeans_topk_multi(emb, nprobes=(1, 3)).collect())
+    )
+    release_caches()
+    single = sorted(
+        (*r, n)
+        for n in (1, 3)
+        for r in map(tuple, A.kmeans_topk(emb, nprobe=n).collect())
+    )
+    release_caches()
+    assert multi == single
+
+
 def test_kmeans_topk_plan_joins_on_cell(spark):
     """Scale invariant (same as the s2 gate): scoring must be an
     equi-join on the learned cell — no Cartesian / nested-loop blow-up."""
