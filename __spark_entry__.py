@@ -372,13 +372,39 @@ def q_d2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(docs)
 
 
-def q_d3_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (12 affine min-hashes over md5-hashed shingles) —
-    bit-identical across engines by construction."""
+def q_d3_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both per-doc signature families in one driver row (50-query cap):
+    MinHash signatures (12 affine min-hashes over md5-hashed shingles)
+    joined with the 64-bit SimHash — each bit-identical across engines by
+    construction; the id-keyed join adds nothing but column width."""
     from ctlp_spark.functions import dedup as D
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return D.minhash_signatures(docs)
+    return D.minhash_signatures(docs).join(D.simhash(docs), "doc")
+
+
+def q_d10_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact dedup (span dedup): 16-token non-overlapping
+    passages, first-occurrence-keeps across the corpus; per doc the
+    passage counts plus an order-weighted integer digest of the
+    surviving passages. One md5-uniform window exchange."""
+    from ctlp_spark.functions import dedup as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return D.passage_dedup(docs)
+
+
+def q_d11_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing any 3-gram shingle
+    with the deterministic holdout (doc_id % 37 == 0) are flagged; the
+    holdout's shingle set is broadcast — the corpus is never shuffled by
+    shingle."""
+    from ctlp_spark.functions import dedup as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.where(F.col("doc_id") % 37 != 0)
+    benchmark = docs.where(F.col("doc_id") % 37 == 0)
+    return D.decontaminate(corpus, benchmark)
 
 
 def q_d4_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -388,14 +414,6 @@ def q_d4_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return D.lsh_candidate_pairs(docs)
-
-
-def q_d5_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash signature per document."""
-    from ctlp_spark.functions import dedup as D
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return D.simhash(docs)
 
 
 def q_d6_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -788,13 +806,23 @@ def _dedup_sql(kind: str) -> str:
     return {
         "exact": D.sql_exact_dedup(),
         "jaccard": D.sql_ngram_jaccard_pairs(),
-        "minhash": D.sql_minhash_signatures(),
         "lsh": D.sql_lsh_candidate_pairs(),
-        "simhash": D.sql_simhash(),
         "simhash_near": D.sql_simhash_near_pairs(),
         "neardup_pipeline": D.sql_neardup_pipeline(),
         "neardup_groups": D.sql_neardup_groups(),
+        "passage": D.sql_passage_dedup(),
+        "decontaminate": D.sql_decontaminate(),
     }[kind]
+
+
+def _d3_sql() -> str:
+    from ctlp_spark.functions import dedup as D
+
+    return (
+        "SELECT m.*, s.simhash\n"
+        f"FROM ({D.sql_minhash_signatures()}) m\n"
+        f"JOIN ({D.sql_simhash()}) s USING (doc)"
+    )
 
 
 
@@ -853,32 +881,32 @@ def q_s4_lsh_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def q_m1_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Typed metadata over opaque binary media payloads — pure column
-    expressions (octet_length, first content byte)."""
+def q_m1_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media metadata + the Arrow-batched mapInPandas decode stage in one
+    driver row (50-query cap): pure-column typed metadata (octet_length,
+    first content byte) id-joined with the deterministic stub-codec
+    decode output — the whole Arrow round-trip stays hash-checked
+    against the byte-exact DuckDB twin."""
     from ctlp_spark.functions import multimodal as M
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return M.media_metadata(M.media_from_docs(docs))
+    media = M.media_from_docs(docs)
+    meta = M.media_metadata(media).select("doc_id", "first_byte")
+    return M.decode_media(media).join(meta, "doc_id")
 
 
-_M1_SQL = """
+def _m1_sql() -> str:
+    from ctlp_spark.functions import multimodal as M
+
+    meta = """
 SELECT doc_id,
-       ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
-       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
        CAST(('0x' || substr(hex(encode(text)), 1, 2)) AS BIGINT) AS first_byte
 FROM documents"""
-
-
-def q_m2_decode_media(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched mapInPandas decode stage (deterministic stub codec —
-    no media libs in this container). The stub is a pure function of the
-    payload bytes, so the whole Arrow round-trip is hash-checked against
-    a byte-exact DuckDB twin."""
-    from ctlp_spark.functions import multimodal as M
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return M.decode_media(M.media_from_docs(docs))
+    return (
+        "SELECT d.doc_id, d.media_type, d.n_bytes, d.width, d.height,\n"
+        "       d.n_frames, d.ok, m.first_byte\n"
+        f"FROM ({M.sql_decode_media()}) d JOIN ({meta}) m USING (doc_id)"
+    )
 
 
 def q_m3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1118,7 +1146,6 @@ def _m_sql(kind: str) -> str:
     from ctlp_spark.functions import multimodal as M
 
     return {
-        "decode": M.sql_decode_media(),
         "frames": M.sql_frame_sample(),
     }[kind]
 
@@ -1181,13 +1208,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t11_bigram_familiarity": q_t11_bigram_familiarity,
         "d1_exact_dedup": q_d1_exact_dedup,
         "d2_ngram_jaccard": q_d2_ngram_jaccard,
-        "d3_minhash_signatures": q_d3_minhash_signatures,
+        "d3_signatures": q_d3_signatures,
         "d4_lsh_candidates": q_d4_lsh_candidates,
-        "d5_simhash": q_d5_simhash,
         "d6_simhash_near": q_d6_simhash_near,
         "d7_neardup_pipeline": q_d7_neardup_pipeline,
         "d8_neardup_groups": q_d8_neardup_groups,
         "d9_neardup_bloom": q_d9_neardup_bloom,
+        "d10_passage_dedup": q_d10_passage_dedup,
+        "d11_decontaminate": q_d11_decontaminate,
         "s1_ann_bruteforce": q_s1_ann_bruteforce,
         "s2_ann_ivf": q_s2_ann_ivf,
         "s3_lsh_buckets": q_s3_lsh_buckets,
@@ -1197,8 +1225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s7_quantize_digest": q_s7_quantize_digest,
         "s8_kmeans_cells": q_s8_kmeans_cells,
         "s9_kmeans_topk": q_s9_kmeans_topk,
-        "m1_media_metadata": q_m1_media_metadata,
-        "m2_decode_media": q_m2_decode_media,
+        "m1_media": q_m1_media,
         "m3_frame_sample": q_m3_frame_sample,
         "c1_conv_stats": q_c1_conv_stats,
         "c2_turn_deltas": q_c2_turn_deltas,
@@ -1238,15 +1265,16 @@ def oracle_sql() -> dict[str, str]:
         "t11_bigram_familiarity": _t11_sql(),
         "d1_exact_dedup": _dedup_sql("exact"),
         "d2_ngram_jaccard": _dedup_sql("jaccard"),
-        "d3_minhash_signatures": _dedup_sql("minhash"),
+        "d3_signatures": _d3_sql(),
         "d4_lsh_candidates": _dedup_sql("lsh"),
-        "d5_simhash": _dedup_sql("simhash"),
         "d6_simhash_near": _dedup_sql("simhash_near"),
         "d7_neardup_pipeline": _dedup_sql("neardup_pipeline"),
         "d8_neardup_groups": _dedup_sql("neardup_groups"),
         # d9 is d7 under a different physical plan (Bloom pre-pruning);
         # the exact-result oracle is deliberately identical to d7's.
         "d9_neardup_bloom": _dedup_sql("neardup_pipeline"),
+        "d10_passage_dedup": _dedup_sql("passage"),
+        "d11_decontaminate": _dedup_sql("decontaminate"),
         "s1_ann_bruteforce": _ann_sql("brute"),
         "s2_ann_ivf": _ann_sql("ivf"),
         "s3_lsh_buckets": _ann_sql("buckets"),
@@ -1256,8 +1284,7 @@ def oracle_sql() -> dict[str, str]:
         "s7_quantize_digest": _ann_sql("quantize"),
         "s8_kmeans_cells": _ann_sql("kmeans"),
         "s9_kmeans_topk": _s9_sql(),
-        "m1_media_metadata": _M1_SQL,
-        "m2_decode_media": _m_sql("decode"),
+        "m1_media": _m1_sql(),
         "m3_frame_sample": _m_sql("frames"),
         "c1_conv_stats": _C1_SQL,
         "c2_turn_deltas": _C2_SQL,

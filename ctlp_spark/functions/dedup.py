@@ -823,3 +823,174 @@ SELECT doc_a, doc_b, inter, union_sz,
        CAST(floor((inter * 1000000) / union_sz) AS BIGINT) AS jaccard_ppm
 FROM verified
 WHERE CAST(floor((inter * 1000000) / union_sz) AS BIGINT) >= {threshold_ppm}"""
+
+
+# ---------------------------------------------------------------------------
+# passage-level exact dedup (span dedup)
+# ---------------------------------------------------------------------------
+
+
+def passage_dedup(
+    docs: DataFrame,
+    chunk_tokens: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Passage-level exact dedup — the span-dedup step of LLM training
+    pipelines (boilerplate/header passages repeated across documents are
+    dropped even when the documents as wholes are unique; cf. Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better").
+
+    Every doc splits into non-overlapping ``chunk_tokens``-token passages
+    (functions/text.chunk_documents with overlap=0 — same normalization
+    and boundary rules as t10); a passage is a DUPLICATE iff its exact
+    text occurred at a smaller (doc_id, chunk_idx) anywhere in the corpus
+    (first-occurrence-keeps: deterministic, partition-invariant, and the
+    canonical copy survives in the earliest doc).
+
+    Output per doc with >= 1 passage: ``(doc_id, n_chunks, n_dup_chunks,
+    kept_digest)`` where kept_digest = sum over SURVIVING passages of
+    (chunk_idx + 1) * hash60(chunk_text) — an order-weighted integer
+    checksum of the doc-after-span-dedup (driver-comparable without
+    emitting reconstructed text; values < 2^45, no overflow).
+
+    Scale shape: chunking rides the scan (no shuffle, plan-gated for
+    t10); the ONLY exchange is the window partitioned by the passage
+    md5 (uniform key, tiny partitions = duplicate groups); the per-doc
+    aggregate is map-side combinable. No UDFs, no driver loops.
+    """
+    from ctlp_spark.functions.text import chunk_documents
+
+    ch = chunk_documents(
+        docs, chunk_tokens=chunk_tokens, overlap=0,
+        id_col=id_col, text_col=text_col,
+    )
+    w = Window.partitionBy(F.md5("chunk_text")).orderBy(
+        F.col(id_col), F.col("chunk_idx")
+    )
+    ranked = ch.select(
+        F.col(id_col),
+        "chunk_idx",
+        shingle_hash(F.col("chunk_text")).alias("h"),
+        F.row_number().over(w).alias("rn"),
+    )
+    return ranked.groupBy(id_col).agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_chunks"),
+        F.sum(
+            F.when(F.col("rn") == 1, (F.col("chunk_idx") + 1) * F.col("h"))
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("kept_digest"),
+    )
+
+
+def sql_passage_dedup(t: str = "documents", chunk_tokens: int = 16) -> str:
+    """DuckDB twin of passage_dedup (window sum -> HUGEINT: CAST per the
+    documented gotcha)."""
+    from ctlp_spark.functions.text import sql_chunk_documents
+
+    chunks = sql_chunk_documents(t, chunk_tokens, 0)
+    h = SQL_SHINGLE_HASH.format(x="chunk_text")
+    return f"""
+WITH c AS ({chunks}),
+r AS (
+  SELECT doc_id, chunk_idx, {h} AS h,
+         row_number() OVER (PARTITION BY md5(chunk_text)
+                            ORDER BY doc_id, chunk_idx) AS rn
+  FROM c
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       CAST(sum(CASE WHEN rn = 1 THEN (chunk_idx + 1) * h ELSE 0 END)
+            AS BIGINT) AS kept_digest
+FROM r GROUP BY doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Training-corpus decontamination: flag every corpus doc that shares
+    at least one word n-gram shingle with a held-out benchmark/eval
+    corpus — the overlap-removal step that keeps eval sets out of
+    training data. Same shingling (normalization, whole-text shingle for
+    short docs, 60-bit md5 hash) as the minhash family, so thresholds
+    compose with d2-d9.
+
+    Output: one row per ``docs`` row — ``(doc_id, n_hits, contaminated)``
+    with n_hits = DISTINCT shared shingles (0 for clean / shingle-less
+    docs; no NULLs).
+
+    Scale shape: the benchmark's distinct shingle-hash set is tiny
+    (benchmarks are small) and BROADCAST; the corpus side is one
+    codegen-able shingle explode feeding a broadcast hash join — the
+    corpus is NEVER shuffled by shingle. The (doc, shingle) distinct +
+    per-doc count exchange only the HIT rows (post-join, usually a
+    vanishing fraction).
+    """
+    b = (
+        shingle_rows(benchmark, n, id_col, text_col)
+        .select(shingle_hash(F.col("sh")).alias("h"))
+        .distinct()
+    )
+    c = shingle_rows(docs, n, id_col, text_col).select(
+        "doc", shingle_hash(F.col("sh")).alias("h")
+    )
+    hits = (
+        c.join(F.broadcast(b), "h")
+        .select("doc", "h")
+        .distinct()
+        .groupBy("doc")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc"))
+        .join(hits, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def sql_decontaminate(
+    t: str = "documents", bench_mod: int = 37, n: int = 3
+) -> str:
+    """DuckDB twin of decontaminate with benchmark = rows where
+    doc_id % bench_mod == 0 (the deterministic holdout the driver query
+    uses) and corpus = the rest."""
+    h = SQL_SHINGLE_HASH.format(x="sh")
+    sh = sql_shingles("text", n)
+    return f"""
+WITH bsh AS (
+  SELECT DISTINCT {h} AS h
+  FROM (SELECT unnest({sh}) AS sh FROM {t} WHERE doc_id % {bench_mod} = 0)
+),
+csh AS (
+  SELECT DISTINCT doc_id, {h} AS h
+  FROM (SELECT doc_id, unnest({sh}) AS sh FROM {t}
+        WHERE doc_id % {bench_mod} <> 0)
+),
+hits AS (
+  SELECT doc_id, count(*) AS n_hits FROM csh JOIN bsh USING (h)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(x.n_hits, 0) AS BIGINT) AS n_hits,
+       coalesce(x.n_hits, 0) > 0 AS contaminated
+FROM {t} d LEFT JOIN hits x USING (doc_id)
+WHERE d.doc_id % {bench_mod} <> 0"""

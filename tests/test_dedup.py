@@ -191,3 +191,81 @@ def test_simhash_kernels_equal(spark):
     expr = {r.doc: r.simhash for r in simhash(df, kernel="expr").collect()}
     arrow = {r.doc: r.simhash for r in simhash(df, kernel="arrow").collect()}
     assert expr == arrow
+
+
+# ----- passage-level exact dedup ------------------------------------------
+
+
+def test_passage_dedup_hand_corpus(spark):
+    """chunk_tokens=2 over a hand corpus: cross-doc repeats, within-doc
+    repeats, and a short single-chunk doc. First occurrence = smallest
+    (doc_id, chunk_idx) survives; later identical passages are dups."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),      # chunks: "a b", "c d" — both first
+            (2, "a b x y"),      # "a b" dup of doc1#0; "x y" first
+            (3, "c d c d"),      # both chunks dup of doc1#1
+            (4, "z"),            # one short chunk, unique
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in D.passage_dedup(docs, chunk_tokens=2).collect()
+    }
+    assert rows[1].n_chunks == 2 and rows[1].n_dup_chunks == 0
+    assert rows[2].n_chunks == 2 and rows[2].n_dup_chunks == 1
+    assert rows[3].n_chunks == 2 and rows[3].n_dup_chunks == 2
+    assert rows[4].n_chunks == 1 and rows[4].n_dup_chunks == 0
+    # doc3 keeps nothing => digest 0; doc1's digest covers both chunks
+    assert rows[3].kept_digest == 0
+    assert rows[1].kept_digest > 0
+
+
+def test_passage_dedup_partitioning_invariant(spark, docs):
+    a = sorted(map(tuple, D.passage_dedup(docs).collect()))
+    b = sorted(map(tuple, D.passage_dedup(docs.repartition(13)).collect()))
+    assert a == b
+
+
+# ----- benchmark decontamination ------------------------------------------
+
+
+def test_decontaminate_hand_corpus(spark):
+    bench = spark.createDataFrame(
+        [(100, "p q r s")], "doc_id bigint, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "z p q r z"),        # shares shingle "p q r"
+            (2, "u v w x"),          # disjoint
+            (3, None),               # NULL text => 0 hits, still a row
+            (4, "p q r p q r oo"),   # repeated shared shingle counts ONCE
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r.doc_id: r for r in D.decontaminate(corpus, bench).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[1].contaminated and rows[1].n_hits == 1
+    assert not rows[2].contaminated and rows[2].n_hits == 0
+    assert not rows[3].contaminated and rows[3].n_hits == 0
+    # doc4 shares "p q r" (appearing twice => counted once) and "q r p",
+    # "r p q" — 3 DISTINCT shared shingles? bench "p q r s" has shingles
+    # {"p q r", "q r s"}; doc4 shingles include "p q r" only from that
+    # set, so n_hits == 1 despite the repeat
+    assert rows[4].contaminated and rows[4].n_hits == 1
+
+
+def test_decontaminate_plan_broadcasts_benchmark(spark, docs):
+    """The benchmark's shingle set must reach the corpus as a BROADCAST
+    hash join — the corpus is never exchanged by shingle (the 100 TB
+    invariant: a benchmark is tiny, the corpus is not)."""
+    bench = docs.where("doc_id % 37 = 0")
+    corpus = docs.where("doc_id % 37 <> 0")
+    plan = (
+        D.decontaminate(corpus, bench)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
