@@ -71,6 +71,18 @@ FROM documents""",
             D.neardup_pipeline(sdf, threshold_ppm=0),
             D.sql_neardup_pipeline(threshold_ppm=0),
         ),
+        # chunk_tokens=4 so the 0-40-token docs produce several passages;
+        # empty docs drop from both engines (t10's pinned boundary rule)
+        "d10": (
+            D.passage_dedup(sdf, chunk_tokens=4),
+            D.sql_passage_dedup(chunk_tokens=4),
+        ),
+        "d11": (
+            D.decontaminate(
+                sdf.where("doc_id % 7 <> 0"), sdf.where("doc_id % 7 = 0")
+            ),
+            D.sql_decontaminate(bench_mod=7),
+        ),
     }
     for name, (spark_df, sql) in checks.items():
         got = sorted(map(tuple, spark_df.collect()))

@@ -87,6 +87,19 @@ def test_ivf_topk_prunes_by_cell_join(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_passage_dedup_two_exchanges_no_join(spark):
+    """Chunking must ride the scan (no shuffle); the whole operator is
+    then the passage-hash window exchange plus the per-doc aggregate
+    exchange — two Exchanges, no joins, no UDFs. A third exchange or a
+    join is a regression that would shuffle the corpus twice at scale."""
+    from ctlp_spark.functions import dedup as D
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(D.passage_dedup(docs))
+    assert plan.count("Exchange") == 2, plan
+    assert "Join" not in plan, plan
+
+
 def test_minhash_single_exchange_with_partial_agg(spark):
     """scan → shingle → hash → K min-aggs must be one shuffle with
     map-side partial aggregation (the whole point of min-hash at scale)."""
