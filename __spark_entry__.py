@@ -234,13 +234,22 @@ SELECT conv_id, turn_idx, role, tool, text, epoch_us(ts) AS ts_us FROM t
 
 
 def q_t1_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting (whitespace + BPE-ish), stopword/diversity ratios and
+    """Token counting (whitespace + BPE-ish), stopword/diversity ratios,
     composite quality score — all JVM-side column expressions, one pass
-    over a materialized (norm, tokens) projection."""
+    over a materialized (norm, tokens) projection — ID-JOINED with the
+    document fingerprints (md5 of normalized text + order-sensitive
+    polynomial rolling hash): both are per-doc pure-map families, merged
+    into one driver row for the 50-query cap (the old separate t3 row)."""
     from ctlp_spark.functions import text as X
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return X.text_stats(docs)
+    c = F.col("text")
+    fps = docs.select(
+        "doc_id",
+        X.fingerprint_md5(c).alias("fp_md5"),
+        X.rolling_fingerprint(c).alias("fp_rolling"),
+    )
+    return X.text_stats(docs).join(fps, "doc_id")
 
 
 def _t1_sql() -> str:
@@ -252,7 +261,9 @@ CAST({X.SQL_TOKEN_COUNT.format(t=t)} AS BIGINT) AS n_tokens,
 CAST({X.SQL_BPE_COUNT.format(t=t)} AS BIGINT) AS n_bpe_tokens,
 CAST({X.SQL_N_STOP.format(t=t)} AS BIGINT) AS n_stop,
 CAST({X.SQL_N_DISTINCT.format(t=t)} AS BIGINT) AS n_distinct,
-CAST({X.SQL_QUALITY_PPM.format(t=t)} AS BIGINT) AS quality_ppm
+CAST({X.SQL_QUALITY_PPM.format(t=t)} AS BIGINT) AS quality_ppm,
+{X.SQL_FINGERPRINT.format(t=t)} AS fp_md5,
+{X.SQL_ROLLING_FP.format(t=t)} AS fp_rolling
 FROM documents"""
 
 
@@ -277,28 +288,20 @@ def _t2_sql() -> str:
     )
 
 
-def q_t3_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprints: md5 of normalized text (exact-dup key) and an
-    order-sensitive polynomial rolling hash over tokens."""
+def q_t12_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repetition quality signals (Gopher/MassiveText filters
+    adapted to token grams): duplicate 5-gram position share + top-bigram
+    share, exact integer ppm."""
     from ctlp_spark.functions import text as X
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    c = F.col("text")
-    return docs.select(
-        "doc_id",
-        X.fingerprint_md5(c).alias("fp_md5"),
-        X.rolling_fingerprint(c).alias("fp_rolling"),
-    )
+    return X.repetition_signals(docs)
 
 
-def _t3_sql() -> str:
+def _t12_sql() -> str:
     from ctlp_spark.functions import text as X
 
-    t = "text"
-    return f"""SELECT doc_id,
-{X.SQL_FINGERPRINT.format(t=t)} AS fp_md5,
-{X.SQL_ROLLING_FP.format(t=t)} AS fp_rolling
-FROM documents"""
+    return X.sql_repetition_signals()
 
 
 def q_t4_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1197,7 +1200,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p5_transcript_view": q_p5_transcript_view,
         "t1_text_stats": q_t1_text_stats,
         "t2_lang_id": q_t2_lang_id,
-        "t3_fingerprints": q_t3_fingerprints,
         "t4_tfidf_top_terms": q_t4_tfidf_top_terms,
         "t5_stratified_sample": q_t5_stratified_sample,
         "t6_token_shards": q_t6_token_shards,
@@ -1206,6 +1208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t9_curation": q_t9_curation,
         "t10_chunks": q_t10_chunks,
         "t11_bigram_familiarity": q_t11_bigram_familiarity,
+        "t12_repetition": q_t12_repetition,
         "d1_exact_dedup": q_d1_exact_dedup,
         "d2_ngram_jaccard": q_d2_ngram_jaccard,
         "d3_signatures": q_d3_signatures,
@@ -1254,7 +1257,6 @@ def oracle_sql() -> dict[str, str]:
         "p5_transcript_view": _TRANSCRIPT_VIEW_SQL,
         "t1_text_stats": _t1_sql(),
         "t2_lang_id": _t2_sql(),
-        "t3_fingerprints": _t3_sql(),
         "t4_tfidf_top_terms": _t4_sql(),
         "t5_stratified_sample": _t5_sql(),
         "t6_token_shards": _t6_sql(),
@@ -1263,6 +1265,7 @@ def oracle_sql() -> dict[str, str]:
         "t9_curation": _t9_sql(),
         "t10_chunks": _t10_sql(),
         "t11_bigram_familiarity": _t11_sql(),
+        "t12_repetition": _t12_sql(),
         "d1_exact_dedup": _dedup_sql("exact"),
         "d2_ngram_jaccard": _dedup_sql("jaccard"),
         "d3_signatures": _d3_sql(),

@@ -950,21 +950,35 @@ WHERE rn = 1"""
     return "WITH " + ",\n".join(parts) + final
 
 
+def _km_corpus_cells(
+    emb: DataFrame, quant: DataFrame, C: "np.ndarray", kernel: str
+) -> DataFrame:
+    """Corpus side of the learned-IVF search: every vector with its
+    learned cell and norm. Built ONCE per model — the assignment UDF over
+    the full corpus is the expensive half, so multi-probe callers share
+    this frame across probe widths."""
+    cells = quant.select(
+        "vec_id", _km_assign_udf(C)(F.col("q")).alias("a")
+    ).select("vec_id", "a.cell")
+    return emb.join(cells, "vec_id").select(
+        "vec_id", "embedding", "cell",
+        _norm_k(F.col("embedding"), kernel).alias("vn"),
+    )
+
+
 def _kmeans_topk_within_cells(
     emb: DataFrame,
     quant: DataFrame,
     C: "np.ndarray",
+    corpus: DataFrame,
     k: int,
     n_queries: int,
     kernel: str,
     nprobe: int,
 ) -> DataFrame:
-    """Search half of kmeans_topk against an already-fitted model: the
-    s2-shaped broadcast cell-equi-join + per-query top-k cosine."""
-    cells = quant.select(
-        "vec_id", _km_assign_udf(C)(F.col("q")).alias("a")
-    ).select("vec_id", "a.cell")
-    e = emb.join(cells, "vec_id")
+    """Search half of kmeans_topk against an already-fitted model and
+    corpus cell table: the s2-shaped broadcast cell-equi-join +
+    per-query top-k cosine."""
     # query side probes its nprobe nearest cells (explode multiplies only
     # the tiny broadcast query relation; a neighbor has exactly one cell,
     # so no (q, neighbor) pair can duplicate across probes)
@@ -980,10 +994,6 @@ def _kmeans_topk_within_cells(
             "qcell",
             _norm_k(F.col("embedding"), kernel).alias("qn"),
         )
-    )
-    corpus = e.select(
-        "vec_id", "embedding", "cell",
-        _norm_k(F.col("embedding"), kernel).alias("vn"),
     )
     scored = (
         corpus.join(F.broadcast(q), on=F.col("cell") == F.col("qcell"))
@@ -1026,8 +1036,9 @@ def kmeans_topk(
     over ≤ |cell| candidates. kernel="expr" by the s1/s2 measurement
     (pair-shaped relation, small per-row work)."""
     quant, C = _kmeans_fit(emb)
+    corpus = _km_corpus_cells(emb, quant, C, kernel)
     return _kmeans_topk_within_cells(
-        emb, quant, C, k, n_queries, kernel, nprobe
+        emb, quant, C, corpus, k, n_queries, kernel, nprobe
     )
 
 
@@ -1039,15 +1050,17 @@ def kmeans_topk_multi(
     nprobes: tuple[int, ...] = (1, 3),
 ) -> DataFrame:
     """``kmeans_topk`` at several probe widths from ONE shared Lloyd fit
-    (the fit's driver model sync and quantization run once, not per
-    width); output adds an ``nprobe`` bigint column. Row-identical to
-    unioning independent ``kmeans_topk`` calls — pinned in
-    test_ann_kernels.py."""
+    AND one shared corpus cell/norm table (the fit's driver model sync,
+    the quantization, and the full-corpus assignment UDF all run once,
+    not per width — only the tiny broadcast query side varies); output
+    adds an ``nprobe`` bigint column. Row-identical to unioning
+    independent ``kmeans_topk`` calls — pinned in test_ann_kernels.py."""
     quant, C = _kmeans_fit(emb)
+    corpus = _km_corpus_cells(emb, quant, C, kernel).localCheckpoint()
     out = None
     for nprobe in nprobes:
         part = _kmeans_topk_within_cells(
-            emb, quant, C, k, n_queries, kernel, nprobe
+            emb, quant, C, corpus, k, n_queries, kernel, nprobe
         ).withColumn("nprobe", F.lit(nprobe).cast("bigint"))
         out = part if out is None else out.unionByName(part)
     return out

@@ -631,3 +631,111 @@ scored AS (
 SELECT doc_id, n_bigrams, n_familiar,
        CAST(floor(n_familiar * 1000000 / n_bigrams) AS BIGINT) AS familiar_ppm
 FROM scored"""
+
+
+def repetition_signals(docs, n: int = 5, id_col: str = "doc_id",
+                       text_col: str = "text"):
+    """WITHIN-document repetition quality signals (the MassiveText /
+    Gopher repetition filters, Rae et al. 2021, adapted to token grams —
+    this corpus has no line structure): machine-generated and template
+    text repeats itself locally, so high duplicate-gram share or a
+    dominant bigram are strong drop signals.
+
+    Output per non-NULL-text doc, all exact integers:
+
+    * ``n_grams`` / ``dup_positions`` / ``dup_ppm`` — token ``n``-gram
+      positions, positions whose gram occurs more than once IN THE SAME
+      DOC, and the ppm share (the "fraction of chars in duplicated
+      10-grams" analogue);
+    * ``n_bigrams`` / ``top_bigram_n`` / ``top_bigram_ppm`` — bigram
+      positions, the most frequent bigram's count, and its ppm share
+      (the "top-2-gram fraction" analogue).
+
+    Docs shorter than the gram length contribute their single whole-text
+    gram (the shingles convention), scoring dup_ppm 0 / top share 1e6.
+
+    Scale shape: two explode → groupBy(doc, gram) → groupBy(doc) chains
+    (map-side combined, gram keys uniform within doc partitions) joined
+    on the doc id — no windows, no UDFs, no broadcast state.
+    """
+    from ctlp_spark.functions.dedup import shingle_rows
+
+    live = docs.where(F.col(text_col).isNotNull())
+
+    def per_doc(gram_n: int, aggs):
+        g = shingle_rows(live, gram_n, id_col, text_col)
+        return (
+            g.groupBy("doc", "sh")
+            .agg(F.count("*").alias("c"))
+            .groupBy("doc")
+            .agg(*aggs)
+        )
+
+    per_n = per_doc(n, [
+        F.sum("c").cast("bigint").alias("n_grams"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("dup_positions"),
+    ])
+    per_2 = per_doc(2, [
+        F.sum("c").cast("bigint").alias("n_bigrams"),
+        F.max("c").cast("bigint").alias("top_bigram_n"),
+    ])
+    return (
+        per_n.join(per_2, "doc")
+        .select(
+            F.col("doc").alias(id_col),
+            "n_grams",
+            "dup_positions",
+            F.expr("CAST(dup_positions * 1000000 div n_grams AS BIGINT)")
+            .alias("dup_ppm"),
+            "n_bigrams",
+            "top_bigram_n",
+            F.expr("CAST(top_bigram_n * 1000000 div n_bigrams AS BIGINT)")
+            .alias("top_bigram_ppm"),
+        )
+    )
+
+
+def _sql_gram_positions(n: int) -> str:
+    """Non-distinct token n-grams (one per position) — sql_shingles minus
+    the list_distinct, mirroring shingle_rows' multiset semantics."""
+    norm = SQL_NORM.format(t="text")
+    toks = f"string_split({norm}, ' ')"
+    return (
+        f"list_transform(generate_series(1, greatest(len({toks}) - {n - 1}, 1)), "
+        f"i -> array_to_string({toks}[i:i+{n - 1}], ' '))"
+    )
+
+
+def sql_repetition_signals(t: str = "documents", n: int = 5) -> str:
+    """DuckDB twin of repetition_signals (integer div; sums CAST per the
+    HUGEINT gotcha)."""
+    return f"""
+WITH gn AS (
+  SELECT doc_id AS doc, sh, count(*) AS c
+  FROM (SELECT doc_id, unnest({_sql_gram_positions(n)}) AS sh
+        FROM {t} WHERE text IS NOT NULL)
+  GROUP BY doc, sh
+),
+pn AS (
+  SELECT doc, CAST(sum(c) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_positions
+  FROM gn GROUP BY doc
+),
+g2 AS (
+  SELECT doc_id AS doc, sh, count(*) AS c
+  FROM (SELECT doc_id, unnest({_sql_gram_positions(2)}) AS sh
+        FROM {t} WHERE text IS NOT NULL)
+  GROUP BY doc, sh
+),
+p2 AS (
+  SELECT doc, CAST(sum(c) AS BIGINT) AS n_bigrams,
+         CAST(max(c) AS BIGINT) AS top_bigram_n
+  FROM g2 GROUP BY doc
+)
+SELECT pn.doc AS doc_id, n_grams, dup_positions,
+       CAST(dup_positions * 1000000 // n_grams AS BIGINT) AS dup_ppm,
+       n_bigrams, top_bigram_n,
+       CAST(top_bigram_n * 1000000 // n_bigrams AS BIGINT) AS top_bigram_ppm
+FROM pn JOIN p2 USING (doc)"""

@@ -83,6 +83,7 @@ FROM documents""",
             ),
             D.sql_decontaminate(bench_mod=7),
         ),
+        "t12": (X.repetition_signals(sdf), X.sql_repetition_signals()),
     }
     for name, (spark_df, sql) in checks.items():
         got = sorted(map(tuple, spark_df.collect()))

@@ -153,3 +153,29 @@ def test_bigram_familiarity_plan_shape(spark):
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_repetition_signals_hand_corpus(spark):
+    """Gopher-style repetition on a hand corpus: a clean doc, a fully
+    repetitive doc, and a short single-gram doc."""
+    from ctlp_spark.functions.text import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),   # 5-grams unique; bigram "a b" 3/5
+            (2, "x x x x x x x"), # every 5-gram and bigram identical
+            (3, "q"),             # single whole-text gram
+            (4, None),            # NULL text => no row
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_signals(docs).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1].n_grams == 2 and rows[1].dup_ppm == 0
+    assert rows[1].n_bigrams == 5 and rows[1].top_bigram_n == 3
+    assert rows[1].top_bigram_ppm == 600_000
+    assert rows[2].dup_positions == rows[2].n_grams == 3
+    assert rows[2].dup_ppm == 1_000_000
+    assert rows[2].top_bigram_ppm == 1_000_000
+    assert rows[3].n_grams == 1 and rows[3].dup_ppm == 0
+    assert rows[3].top_bigram_ppm == 1_000_000
