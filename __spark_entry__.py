@@ -235,21 +235,15 @@ SELECT conv_id, turn_idx, role, tool, text, epoch_us(ts) AS ts_us FROM t
 
 def q_t1_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (whitespace + BPE-ish), stopword/diversity ratios,
-    composite quality score — all JVM-side column expressions, one pass
-    over a materialized (norm, tokens) projection — ID-JOINED with the
-    document fingerprints (md5 of normalized text + order-sensitive
-    polynomial rolling hash): both are per-doc pure-map families, merged
-    into one driver row for the 50-query cap (the old separate t3 row)."""
+    composite quality score, AND the document fingerprints (md5 of
+    normalized text + order-sensitive polynomial rolling hash) — the old
+    separate t3 row merged in for the 50-query cap, computed in the SAME
+    single pass over one materialized (norm, tokens) projection (no
+    second scan, no join)."""
     from ctlp_spark.functions import text as X
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    c = F.col("text")
-    fps = docs.select(
-        "doc_id",
-        X.fingerprint_md5(c).alias("fp_md5"),
-        X.rolling_fingerprint(c).alias("fp_rolling"),
-    )
-    return X.text_stats(docs).join(fps, "doc_id")
+    return X.text_stats(docs, with_fingerprints=True)
 
 
 def _t1_sql() -> str:

@@ -1054,7 +1054,13 @@ def kmeans_topk_multi(
     the quantization, and the full-corpus assignment UDF all run once,
     not per width — only the tiny broadcast query side varies); output
     adds an ``nprobe`` bigint column. Row-identical to unioning
-    independent ``kmeans_topk`` calls — pinned in test_ann_kernels.py."""
+    independent ``kmeans_topk`` calls — pinned in test_ann_kernels.py.
+
+    The shared corpus table is localCheckpoint-ed (EAGER, executor-local
+    — the same documented tradeoff as jaccard_on_candidates'
+    checkpoint="local"): without it each union branch re-runs the
+    assignment UDF over the full corpus; on a real cluster with flaky
+    executors, swap for a reliable checkpoint dir."""
     quant, C = _kmeans_fit(emb)
     corpus = _km_corpus_cells(emb, quant, C, kernel).localCheckpoint()
     out = None

@@ -139,13 +139,19 @@ def lang_id(col: Column) -> Column:
     return F.when(best_score > 0, best_lang).otherwise(F.lit("und"))
 
 
-def text_stats(docs, id_col: str = "doc_id", text_col: str = "text"):
+def text_stats(docs, id_col: str = "doc_id", text_col: str = "text",
+               with_fingerprints: bool = False):
     """All t1 counters in ONE pass: normalized text and the token array
     materialize once (multi-referenced, so CollapseProject keeps them
     projected), then every counter — including quality_ppm — derives from
     those columns instead of re-running the regex normalization per
     output column (2× at sf0.1). Column-for-column identical to the
-    per-column functions."""
+    per-column functions.
+
+    ``with_fingerprints=True`` appends the t3 fingerprint columns
+    (fp_md5 / fp_rolling) computed from the SAME materialized _norm —
+    one scan instead of a second pass + id join (the join variant
+    measured 3.4 s vs ~1.7 s for each half at sf0.1)."""
     pre = docs.select(
         F.col(id_col),
         F.col(text_col).alias("_text"),
@@ -164,12 +170,21 @@ def text_stats(docs, id_col: str = "doc_id", text_col: str = "text"):
             "bigint"
         )
     )
+    fp_cols = (
+        [
+            F.md5("_norm").alias("fp_md5"),
+            _rolling_fp_arrow(F.col("_norm")).alias("fp_rolling"),
+        ]
+        if with_fingerprints
+        else []
+    )
     counted = pre.select(
         id_col,
         nt.alias("n_tokens"),
         bpe_ish_token_count(F.col("_text")).cast("bigint").alias("n_bpe_tokens"),
         ns.alias("n_stop"),
         nd.alias("n_distinct"),
+        *fp_cols,
     )
     cnt = F.col("n_tokens")
     diversity = F.when(cnt == 0, zero).otherwise(
@@ -189,6 +204,7 @@ def text_stats(docs, id_col: str = "doc_id", text_col: str = "text"):
         "n_stop",
         "n_distinct",
         (diversity + stop_part + len_part).alias("quality_ppm"),
+        *(["fp_md5", "fp_rolling"] if with_fingerprints else []),
     )
 
 
