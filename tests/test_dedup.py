@@ -269,3 +269,46 @@ def test_decontaminate_plan_broadcasts_benchmark(spark, docs):
         .toString()
     )
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_passage_dedup_surviving_chunks_equal_distinct_passages(spark, docs):
+    """Global invariant: exactly one copy of every distinct passage text
+    survives, so sum(n_chunks - n_dup_chunks) == count of distinct
+    passage texts in the corpus."""
+    from pyspark.sql import functions as F
+
+    from ctlp_spark.functions.text import chunk_documents
+
+    out = D.passage_dedup(docs)
+    survived = out.agg(
+        F.sum(F.col("n_chunks") - F.col("n_dup_chunks"))
+    ).collect()[0][0]
+    distinct_passages = (
+        chunk_documents(docs, chunk_tokens=16, overlap=0)
+        .select("chunk_text")
+        .distinct()
+        .count()
+    )
+    assert survived == distinct_passages
+
+
+def test_decontaminate_identical_doc_is_contaminated(spark, docs):
+    """A corpus doc that IS a benchmark doc (same text, different id)
+    must always be flagged; partitioning must not change the output."""
+    from pyspark.sql import functions as F
+
+    slim = docs.select("doc_id", "text")
+    bench = slim.where("doc_id < 5")  # deterministic (limit() is not)
+    clone = bench.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    corpus = slim.where("doc_id >= 5").unionByName(clone)
+    out = D.decontaminate(corpus, bench)
+    flagged = {
+        r.doc_id for r in out.where("contaminated").collect()
+    }
+    assert {r.doc_id for r in clone.collect()} <= flagged
+    out2 = D.decontaminate(corpus.repartition(17), bench)
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, out2.collect())
+    )

@@ -187,3 +187,16 @@ def test_curation_plan_is_id_keyed_joins_only(spark):
     plan = _plan(curate(docs))
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_repetition_signals_no_cartesian_partial_agg(spark):
+    """t12 is two explode→groupBy chains joined on the doc id: gram
+    aggregation must be map-side combined and the final join id-keyed —
+    any nested-loop/Cartesian is a regression."""
+    from ctlp_spark.functions import text as X
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(X.repetition_signals(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan
