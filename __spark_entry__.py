@@ -559,10 +559,13 @@ FROM t GROUP BY conv_id"""
 
 
 def q_c2_turn_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-turn latency under stable (conv_id, turn_idx) window ordering."""
-    from ctlp_spark.operators.conversation import turn_deltas
+    """Per-turn latency AND gap-based sessionization (5-minute gap) in
+    one driver row (50-query cap — the old separate c3 row), both under
+    stable (conv_id, turn_idx) window ordering, id-joined per turn."""
+    from ctlp_spark.operators.conversation import sessionize, turn_deltas
 
-    return turn_deltas(transcripts_from_events(spark, sf_dir))
+    t = transcripts_from_events(spark, sf_dir)
+    return turn_deltas(t).join(sessionize(t), ["conv_id", "turn_idx"])
 
 
 _C2_SQL = f"""
@@ -573,11 +576,14 @@ SELECT conv_id, turn_idx, role,
 FROM t"""
 
 
-def q_c3_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization within conversations (5-minute gap)."""
-    from ctlp_spark.operators.conversation import sessionize
+def q_d12_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val split: near-dup GROUPS (d8) are the unit of
+    assignment (no near-dup pair can straddle the split), deterministic
+    md5 bucket of the group label at 10% val."""
+    from ctlp_spark.functions import dedup as D
 
-    return sessionize(transcripts_from_events(spark, sf_dir))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return D.leakage_safe_split(docs)
 
 
 _C3_SQL = f"""
@@ -809,6 +815,7 @@ def _dedup_sql(kind: str) -> str:
         "neardup_groups": D.sql_neardup_groups(),
         "passage": D.sql_passage_dedup(),
         "decontaminate": D.sql_decontaminate(),
+        "leakage_split": D.sql_leakage_safe_split(),
     }[kind]
 
 
@@ -1213,6 +1220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d9_neardup_bloom": q_d9_neardup_bloom,
         "d10_passage_dedup": q_d10_passage_dedup,
         "d11_decontaminate": q_d11_decontaminate,
+        "d12_leakage_split": q_d12_leakage_split,
         "s1_ann_bruteforce": q_s1_ann_bruteforce,
         "s2_ann_ivf": q_s2_ann_ivf,
         "s3_lsh_buckets": q_s3_lsh_buckets,
@@ -1226,7 +1234,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m3_frame_sample": q_m3_frame_sample,
         "c1_conv_stats": q_c1_conv_stats,
         "c2_turn_deltas": q_c2_turn_deltas,
-        "c3_sessionize": q_c3_sessionize,
         "c4_hourly_rollup": q_c4_hourly_rollup,
         "c5_asof_checkpoint": q_c5_asof_checkpoint,
         "c6_range_window_counts": q_c6_range_window_counts,
@@ -1272,6 +1279,7 @@ def oracle_sql() -> dict[str, str]:
         "d9_neardup_bloom": _dedup_sql("neardup_pipeline"),
         "d10_passage_dedup": _dedup_sql("passage"),
         "d11_decontaminate": _dedup_sql("decontaminate"),
+        "d12_leakage_split": _dedup_sql("leakage_split"),
         "s1_ann_bruteforce": _ann_sql("brute"),
         "s2_ann_ivf": _ann_sql("ivf"),
         "s3_lsh_buckets": _ann_sql("buckets"),
@@ -1284,8 +1292,11 @@ def oracle_sql() -> dict[str, str]:
         "m1_media": _m1_sql(),
         "m3_frame_sample": _m_sql("frames"),
         "c1_conv_stats": _C1_SQL,
-        "c2_turn_deltas": _C2_SQL,
-        "c3_sessionize": _C3_SQL,
+        "c2_turn_deltas": (
+            "SELECT a.conv_id, a.turn_idx, a.role, a.delta_us, "
+            "b.session_idx\n"
+            f"FROM ({_C2_SQL}) a JOIN ({_C3_SQL}) b USING (conv_id, turn_idx)"
+        ),
         "c4_hourly_rollup": _C4_SQL,
         "c5_asof_checkpoint": _c5_sql(),
         "c6_range_window_counts": _c6_sql(),

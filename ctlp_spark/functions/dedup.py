@@ -994,3 +994,69 @@ SELECT d.doc_id,
        coalesce(x.n_hits, 0) > 0 AS contaminated
 FROM {t} d LEFT JOIN hits x USING (doc_id)
 WHERE d.doc_id % {bench_mod} <> 0"""
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe train/validation split
+# ---------------------------------------------------------------------------
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    val_ppm: int = 100_000,
+    n: int = 3,
+    threshold_ppm: int = 300_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Leakage-safe train/validation split: the unit of assignment is the
+    NEAR-DUP GROUP (``neardup_groups`` / d8), not the document, so two
+    near-duplicate documents can never straddle the split — the standard
+    guard against a validation set that paraphrases the training set.
+
+    Assignment is the deterministic content-hash convention the sampling
+    family uses (functions/sampling.py): shared 60-bit md5 of the group
+    label, bucket % 1e6 < ``val_ppm`` → 'val', else 'train'. Every member
+    of a group shares group_id, hence the split; resampling val_ppm only
+    MOVES whole groups. Partition/run-invariant by construction.
+
+    Output: (doc_id, group_id, group_size, is_canonical, split).
+
+    Scale shape: everything is d8's (LSH blocking → candidate-only verify
+    → log-round connected components); the split itself adds one pure-map
+    projection — no new shuffle.
+    """
+    groups = neardup_groups(docs, n, threshold_ppm, id_col, text_col)
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("group_id").cast("string")), 1, 15),
+            16, 10,
+        ).cast("bigint")
+        % 1_000_000
+    )
+    return groups.select(
+        id_col,
+        "group_id",
+        "group_size",
+        "is_canonical",
+        F.when(bucket < val_ppm, F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
+def sql_leakage_safe_split(
+    t: str = "documents",
+    val_ppm: int = 100_000,
+    n: int = 3,
+    threshold_ppm: int = 300_000,
+) -> str:
+    """DuckDB twin: d8's recursive-CTE groups + the same md5 bucket."""
+    g = sql_neardup_groups(t, n, threshold_ppm)
+    return f"""
+WITH g AS ({g})
+SELECT doc_id, group_id, group_size, is_canonical,
+       CASE WHEN (CAST(('0x' || substr(md5(CAST(group_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 1000000) < {val_ppm}
+            THEN 'val' ELSE 'train' END AS split
+FROM g"""

@@ -312,3 +312,21 @@ def test_decontaminate_identical_doc_is_contaminated(spark, docs):
     assert sorted(map(tuple, out.collect())) == sorted(
         map(tuple, out2.collect())
     )
+
+
+def test_leakage_safe_split_never_straddles_neardup_pairs(spark, docs):
+    """The split's whole point: every verified near-dup pair lands on the
+    SAME side, every doc is assigned exactly once, and assignment is
+    stable under repartitioning (content-hash of the group label)."""
+    split = D.leakage_safe_split(docs)
+    side = {r.doc_id: r.split for r in split.collect()}
+    assert len(side) == docs.count()
+    pairs = D.neardup_pipeline(docs).collect()
+    assert pairs, "fixture must contain near-dup pairs"
+    for p in pairs:
+        assert side[p.doc_a] == side[p.doc_b], (p.doc_a, p.doc_b)
+    again = {
+        r.doc_id: r.split
+        for r in D.leakage_safe_split(docs.repartition(17)).collect()
+    }
+    assert side == again
