@@ -146,12 +146,51 @@ def main() -> None:
         res["s6_candidates"] = n
         res["s6_sec"] = round(sec, 2)
 
+        # round-4 operators: passage dedup, decontamination (holdout =
+        # doc_id % 37 == 0), repetition signals, leakage-safe split
+        from pyspark.sql import functions as F
+
+        from ctlp_spark.functions import text as X
+
+        sec, n = timed(
+            lambda: D.passage_dedup(docs)
+            .agg(F.sum("n_dup_chunks"))
+            .collect()[0][0]
+        )
+        res["d10_dup_chunks"] = n
+        res["d10_sec"] = round(sec, 2)
+
+        sec, n = timed(
+            lambda: D.decontaminate(
+                docs.where("doc_id % 37 <> 0"), docs.where("doc_id % 37 = 0")
+            )
+            .where("contaminated")
+            .count()
+        )
+        res["d11_contaminated"] = n
+        res["d11_sec"] = round(sec, 2)
+
+        sec, n = timed(lambda: X.repetition_signals(docs).count())
+        res["t12_rows"] = n
+        res["t12_sec"] = round(sec, 2)
+
+        sec, n = timed(
+            lambda: D.leakage_safe_split(docs).where("split = 'val'").count()
+        )
+        res["d12_val_docs"] = n
+        res["d12_sec"] = round(sec, 2)
+        D.release_caches()
+
         out[scale] = res
 
+    # NB: divide by the actual small-scale value (guard only true zero) —
+    # the old max(small, 1) clamp silently mis-scaled ratios for sub-1s
+    # timings (a 0.56 s -> 1.96 s growth printed as "1.96x", not 3.5x)
     growth = {
-        k: round(out["big"][k] / max(out["small"][k], 1), 2)
+        k: round(out["big"][k] / (out["small"][k] or 1), 2)
         for k in ("d_lsh_candidates", "s4_candidates", "d7_sec", "d8_sec",
-                  "s4_sec", "s6_sec")
+                  "s4_sec", "s6_sec", "d10_sec", "d11_sec", "t12_sec",
+                  "d12_sec", "d10_dup_chunks", "d11_contaminated")
     }
     print(json.dumps({"scales": out, "growth_10x": growth}))
     spark.stop()
