@@ -560,12 +560,12 @@ FROM t GROUP BY conv_id"""
 
 def q_c2_turn_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-turn latency AND gap-based sessionization (5-minute gap) in
-    one driver row (50-query cap — the old separate c3 row), both under
-    stable (conv_id, turn_idx) window ordering, id-joined per turn."""
-    from ctlp_spark.operators.conversation import sessionize, turn_deltas
+    one driver row (50-query cap — the old separate c3 row), FUSED into
+    a single (conv_id, turn_idx) window pass — one exchange + one sort,
+    no join (both columns derive from the same lag(ts))."""
+    from ctlp_spark.operators.conversation import turn_deltas_sessions
 
-    t = transcripts_from_events(spark, sf_dir)
-    return turn_deltas(t).join(sessionize(t), ["conv_id", "turn_idx"])
+    return turn_deltas_sessions(transcripts_from_events(spark, sf_dir))
 
 
 _C2_SQL = f"""

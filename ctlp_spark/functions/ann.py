@@ -1061,6 +1061,8 @@ def kmeans_topk_multi(
     checkpoint="local"): without it each union branch re-runs the
     assignment UDF over the full corpus; on a real cluster with flaky
     executors, swap for a reliable checkpoint dir."""
+    if not nprobes:
+        raise ValueError("nprobes must be a non-empty tuple")
     quant, C = _kmeans_fit(emb)
     corpus = _km_corpus_cells(emb, quant, C, kernel).localCheckpoint()
     out = None

@@ -855,32 +855,51 @@ def passage_dedup(
     emitting reconstructed text; values < 2^45, no overflow).
 
     Scale shape: chunking rides the scan (no shuffle, plan-gated for
-    t10); the ONLY exchange is the window partitioned by the passage
-    md5 (uniform key, tiny partitions = duplicate groups); the per-doc
-    aggregate is map-side combinable. No UDFs, no driver loops.
+    t10). First occurrences come from a groupBy(passage-md5) min-struct
+    aggregate — MAP-SIDE COMBINED, so a boilerplate passage shared by
+    10^9 docs reduces to one row per map task before the exchange (a
+    row_number window here would sort the whole hot group on one task —
+    the straggler this operator exists to handle); the join back to the
+    chunk rows is a hash equi-join whose probe side streams (AQE
+    skew-join splits the hot key). Per-doc aggregate is map-side
+    combinable. No UDFs, no windows, no driver loops.
     """
     from ctlp_spark.functions.text import chunk_documents
 
+    # NULL-text docs carry no passages: without the guard Spark's
+    # chunker emits one NULL chunk per NULL doc (greatest(NULL,1) = 1),
+    # all NULL chunks collide in one group, and the surviving doc's
+    # kept_digest becomes sum(NULL) = NULL — a nullable driver column
+    # (memory: driver-oracle-gotchas) and a semantically-false dup
     ch = chunk_documents(
-        docs, chunk_tokens=chunk_tokens, overlap=0,
+        docs.where(F.col(text_col).isNotNull()),
+        chunk_tokens=chunk_tokens, overlap=0,
         id_col=id_col, text_col=text_col,
-    )
-    w = Window.partitionBy(F.md5("chunk_text")).orderBy(
-        F.col(id_col), F.col("chunk_idx")
-    )
-    ranked = ch.select(
+    ).select(
         F.col(id_col),
         "chunk_idx",
+        F.md5("chunk_text").alias("_ck"),
         shingle_hash(F.col("chunk_text")).alias("h"),
-        F.row_number().over(w).alias("rn"),
     )
-    return ranked.groupBy(id_col).agg(
+    firsts = ch.groupBy("_ck").agg(
+        F.min(F.struct(F.col(id_col), F.col("chunk_idx"))).alias("_first")
+    )
+    marked = ch.join(firsts, "_ck").select(
+        id_col,
+        "chunk_idx",
+        "h",
+        (
+            (F.col(f"_first.{id_col}") != F.col(id_col))
+            | (F.col("_first.chunk_idx") != F.col("chunk_idx"))
+        ).alias("_dup"),
+    )
+    return marked.groupBy(id_col).agg(
         F.count("*").alias("n_chunks"),
-        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+        F.sum(F.when(F.col("_dup"), 1).otherwise(0))
         .cast("bigint")
         .alias("n_dup_chunks"),
         F.sum(
-            F.when(F.col("rn") == 1, (F.col("chunk_idx") + 1) * F.col("h"))
+            F.when(~F.col("_dup"), (F.col("chunk_idx") + 1) * F.col("h"))
             .otherwise(0)
         )
         .cast("bigint")
@@ -890,10 +909,13 @@ def passage_dedup(
 
 def sql_passage_dedup(t: str = "documents", chunk_tokens: int = 16) -> str:
     """DuckDB twin of passage_dedup (window sum -> HUGEINT: CAST per the
-    documented gotcha)."""
+    documented gotcha; row_number is fine HERE — the oracle runs at
+    small SF, only the Spark side needs the skew-safe agg+join shape).
+    NULL-text docs are excluded on both sides."""
     from ctlp_spark.functions.text import sql_chunk_documents
 
-    chunks = sql_chunk_documents(t, chunk_tokens, 0)
+    live = f"(SELECT doc_id, text FROM {t} WHERE text IS NOT NULL) AS _live"
+    chunks = sql_chunk_documents(live, chunk_tokens, 0)
     h = SQL_SHINGLE_HASH.format(x="chunk_text")
     return f"""
 WITH c AS ({chunks}),

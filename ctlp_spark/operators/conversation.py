@@ -120,6 +120,33 @@ def latency_percentiles(
     )
 
 
+def turn_deltas_sessions(df: DataFrame, gap_minutes: int = 5) -> DataFrame:
+    """``turn_deltas`` + ``sessionize`` fused into ONE window pass: both
+    derive from the same lag(ts) under the same (conv_id, turn_idx)
+    window spec, so computing them together means one exchange + one
+    sort instead of two windowed scans joined on the turn id (the same
+    fusion text_stats applies to the fingerprints). Row-identical to
+    ``turn_deltas(df).join(sessionize(df), ["conv_id", "turn_idx"])`` —
+    pinned in tests/test_conversation.py."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    prev_ts = F.lag(F.col("ts")).over(w)
+    delta = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        prev_ts.cast("timestamp")
+    )
+    gap_us = F.lit(gap_minutes * 60 * 1_000_000)
+    new_session = F.when(prev_ts.isNull(), F.lit(0)).otherwise(
+        (delta > gap_us).cast("int")
+    )
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.coalesce(delta, F.lit(-1)).cast("bigint").alias("delta_us"),
+        F.sum(new_session).over(running).cast("bigint").alias("session_idx"),
+    )
+
+
 def sessionize(df: DataFrame, gap_minutes: int = 5) -> DataFrame:
     """Gap-based sessions within a conversation: session_idx increments
     whenever the gap to the previous turn exceeds ``gap_minutes``."""

@@ -204,10 +204,12 @@ def _assign_components_distributed(
     * per-component labels then come from one aggregation over the
       component table joined (hash join, id keys) to prior assignments.
 
-    Returns (doc_id, group_id) for NEW docs only."""
+    Returns (doc_id, group_id) for NEW docs only. ``arrivals`` must
+    derive from an already-materialized frame (process_batch checkpoints
+    the candidate set once; re-checkpointing here would add an eager job
+    per micro-batch for no lineage benefit)."""
     from ctlp_spark.functions.dedup import connected_components
 
-    arrivals = arrivals.localCheckpoint()  # tiny: this batch's doc ids
     if prior is not None:
         arrivals = arrivals.join(prior, "doc_id", "left_anti")
     nodes = (

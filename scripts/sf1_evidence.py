@@ -94,7 +94,6 @@ def main() -> None:
     )
     from ctlp_spark.session import get_spark
 
-    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     data_dir = _data_dir()
 
     shm = "/dev/shm/ctlp_sf1_out" if os.path.isdir("/dev/shm") else "/tmp/ctlp_sf1_out"

@@ -66,3 +66,32 @@ def test_latency_percentiles_rank_selection(spark):
     assert got[("user", 900_000)] == (9, 10)
     assert got[("user", 990_000)] == (10, 10)
     assert got[("tool", 500_000)] == (7, 1)  # sentinel -1 excluded
+
+
+def test_turn_deltas_sessions_fusion_equals_join(spark, transcripts):
+    """The fused one-window c2 query must be row-identical to joining
+    the two standalone operators."""
+    from ctlp_spark.operators.conversation import (
+        sessionize,
+        turn_deltas,
+        turn_deltas_sessions,
+    )
+
+    fused = sorted(map(tuple, turn_deltas_sessions(transcripts).collect()))
+    joined = sorted(
+        map(
+            tuple,
+            turn_deltas(transcripts)
+            .join(sessionize(transcripts), ["conv_id", "turn_idx"])
+            .collect(),
+        )
+    )
+    assert fused == joined
+    # one Window node, no join in the fused plan
+    plan = (
+        turn_deltas_sessions(transcripts)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan, plan

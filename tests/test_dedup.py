@@ -206,6 +206,8 @@ def test_passage_dedup_hand_corpus(spark):
             (2, "a b x y"),      # "a b" dup of doc1#0; "x y" first
             (3, "c d c d"),      # both chunks dup of doc1#1
             (4, "z"),            # one short chunk, unique
+            (5, None),           # NULL text: no passages, NO output row
+            (6, None),           # (two NULLs must not pair as "dups")
         ],
         "doc_id bigint, text string",
     )
@@ -213,6 +215,8 @@ def test_passage_dedup_hand_corpus(spark):
         r.doc_id: r
         for r in D.passage_dedup(docs, chunk_tokens=2).collect()
     }
+    assert set(rows) == {1, 2, 3, 4}
+    assert all(r.kept_digest is not None for r in rows.values())
     assert rows[1].n_chunks == 2 and rows[1].n_dup_chunks == 0
     assert rows[2].n_chunks == 2 and rows[2].n_dup_chunks == 1
     assert rows[3].n_chunks == 2 and rows[3].n_dup_chunks == 2

@@ -87,17 +87,21 @@ def test_ivf_topk_prunes_by_cell_join(spark):
     assert "BroadcastHashJoin" in plan
 
 
-def test_passage_dedup_two_exchanges_no_join(spark):
-    """Chunking must ride the scan (no shuffle); the whole operator is
-    then the passage-hash window exchange plus the per-doc aggregate
-    exchange — two Exchanges, no joins, no UDFs. A third exchange or a
-    join is a regression that would shuffle the corpus twice at scale."""
+def test_passage_dedup_skew_safe_first_occurrence(spark):
+    """Chunking must ride the scan (no shuffle); first occurrences must
+    come from a map-side-combined groupBy aggregate (partial_min of the
+    (doc, idx) struct BEFORE the exchange — a row_number window here
+    would sort a 10^9-doc boilerplate passage's whole group on one
+    task), the join back must be a hash equi-join, and no window/sort of
+    chunk rows by the passage key may appear."""
     from ctlp_spark.functions import dedup as D
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     plan = _plan(D.passage_dedup(docs))
-    assert plan.count("Exchange") == 2, plan
-    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_min" in plan or "HashAggregate" in plan, plan
 
 
 def test_minhash_single_exchange_with_partial_agg(spark):
