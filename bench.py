@@ -212,7 +212,7 @@ def _child_ceiling(cpus: int) -> None:
 # + codegen (audited in BASELINE.md): report the WARM second run so
 # round-over-round comparison tracks steady-state throughput, not codegen
 # noise; the cold time goes to stderr
-_WARM_QUERIES = {"j1_enrich_kept"}
+_WARM_QUERIES = {"j1_enrich_kept", "t1_text_stats"}
 
 
 def _qkey(name: str) -> str:
