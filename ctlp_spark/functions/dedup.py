@@ -881,25 +881,37 @@ def passage_dedup(
         F.md5("chunk_text").alias("_ck"),
         shingle_hash(F.col("chunk_text")).alias("h"),
     )
-    firsts = ch.groupBy("_ck").agg(
+    # pre-group to one row per (passage, doc, position) with its
+    # multiplicity c (duplicate corpus ROWS yield c > 1: one copy is the
+    # kept/first occurrence, the rest are dups — exactly row_number
+    # semantics, which a plain struct==min comparison would miscount)
+    rows = ch.groupBy("_ck", id_col, "chunk_idx").agg(
+        F.count("*").alias("_c"), F.max("h").alias("h")
+    )
+    firsts = rows.groupBy("_ck").agg(
         F.min(F.struct(F.col(id_col), F.col("chunk_idx"))).alias("_first")
     )
-    marked = ch.join(firsts, "_ck").select(
+    # join key is the passage hash: a boilerplate passage shared by 10^9
+    # docs concentrates this join's probe partition — handled by AQE
+    # skew-join (enabled in session.py), which a window could never be
+    marked = rows.join(firsts, "_ck").select(
         id_col,
         "chunk_idx",
         "h",
-        (
-            (F.col(f"_first.{id_col}") != F.col(id_col))
-            | (F.col("_first.chunk_idx") != F.col("chunk_idx"))
-        ).alias("_dup"),
+        "_c",
+        F.struct(F.col(id_col), F.col("chunk_idx"))
+        .eqNullSafe(F.col("_first"))
+        .alias("_is_first"),
     )
     return marked.groupBy(id_col).agg(
-        F.count("*").alias("n_chunks"),
-        F.sum(F.when(F.col("_dup"), 1).otherwise(0))
+        F.sum("_c").cast("bigint").alias("n_chunks"),
+        F.sum(
+            F.col("_c") - F.when(F.col("_is_first"), 1).otherwise(0)
+        )
         .cast("bigint")
         .alias("n_dup_chunks"),
         F.sum(
-            F.when(~F.col("_dup"), (F.col("chunk_idx") + 1) * F.col("h"))
+            F.when(F.col("_is_first"), (F.col("chunk_idx") + 1) * F.col("h"))
             .otherwise(0)
         )
         .cast("bigint")

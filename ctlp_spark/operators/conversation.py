@@ -60,20 +60,13 @@ def conversation_stats(
 def turn_deltas(df: DataFrame) -> DataFrame:
     """Per-turn latency: microseconds since the previous turn of the same
     conversation under stable (conv_id, turn_idx) ordering; -1 sentinel
-    for the first turn."""
-    w = Window.partitionBy("conv_id").orderBy("turn_idx")
-    prev_ts = F.lag(F.col("ts")).over(w)
-    delta = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
-        prev_ts.cast("timestamp")
-    )
-    # -1 sentinel instead of NULL for the first turn: keeps the column
-    # non-nullable end-to-end (a nullable int degrades to float64 + NaN in
-    # any pandas/Arrow hop, breaking cross-engine value comparison)
-    return df.select(
-        "conv_id",
-        "turn_idx",
-        "role",
-        F.coalesce(delta, F.lit(-1)).cast("bigint").alias("delta_us"),
+    for the first turn.
+
+    Thin column subset of :func:`turn_deltas_sessions` (ONE definition
+    of the lag/gap machinery — Catalyst prunes the unused session
+    expressions)."""
+    return turn_deltas_sessions(df).select(
+        "conv_id", "turn_idx", "role", "delta_us"
     )
 
 
@@ -121,13 +114,21 @@ def latency_percentiles(
 
 
 def turn_deltas_sessions(df: DataFrame, gap_minutes: int = 5) -> DataFrame:
-    """``turn_deltas`` + ``sessionize`` fused into ONE window pass: both
-    derive from the same lag(ts) under the same (conv_id, turn_idx)
+    """Per-turn latency + gap-based sessionization in ONE window pass:
+    both derive from the same lag(ts) under the same (conv_id, turn_idx)
     window spec, so computing them together means one exchange + one
     sort instead of two windowed scans joined on the turn id (the same
-    fusion text_stats applies to the fingerprints). Row-identical to
-    ``turn_deltas(df).join(sessionize(df), ["conv_id", "turn_idx"])`` —
-    pinned in tests/test_conversation.py."""
+    fusion text_stats applies to the fingerprints). This is THE
+    definition of the lag/gap machinery — ``turn_deltas`` and
+    ``sessionize`` are column subsets of it (one copy to maintain).
+    Row-identical to the join of the two subsets — pinned in
+    tests/test_conversation.py.
+
+    delta_us uses a -1 sentinel instead of NULL for the first turn:
+    keeps the column non-nullable end-to-end (a nullable int degrades to
+    float64 + NaN in any pandas/Arrow hop, breaking cross-engine value
+    comparison). session_idx increments whenever the gap to the previous
+    turn exceeds ``gap_minutes``."""
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     prev_ts = F.lag(F.col("ts")).over(w)
     delta = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
@@ -149,22 +150,9 @@ def turn_deltas_sessions(df: DataFrame, gap_minutes: int = 5) -> DataFrame:
 
 def sessionize(df: DataFrame, gap_minutes: int = 5) -> DataFrame:
     """Gap-based sessions within a conversation: session_idx increments
-    whenever the gap to the previous turn exceeds ``gap_minutes``."""
-    w = Window.partitionBy("conv_id").orderBy("turn_idx")
-    gap_us = F.lit(gap_minutes * 60 * 1_000_000)
-    prev_ts = F.lag(F.col("ts")).over(w)
-    new_session = F.when(prev_ts.isNull(), F.lit(0)).otherwise(
-        (
-            F.unix_micros(F.col("ts").cast("timestamp"))
-            - F.unix_micros(prev_ts.cast("timestamp"))
-            > gap_us
-        ).cast("int")
-    )
-    running = Window.partitionBy("conv_id").orderBy("turn_idx").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    return df.select(
-        "conv_id",
-        "turn_idx",
-        F.sum(new_session).over(running).cast("bigint").alias("session_idx"),
+    whenever the gap to the previous turn exceeds ``gap_minutes``.
+
+    Thin column subset of :func:`turn_deltas_sessions`."""
+    return turn_deltas_sessions(df, gap_minutes).select(
+        "conv_id", "turn_idx", "session_idx"
     )

@@ -334,3 +334,30 @@ def test_leakage_safe_split_never_straddles_neardup_pairs(spark, docs):
         for r in D.leakage_safe_split(docs.repartition(17)).collect()
     }
     assert side == again
+
+
+def test_passage_dedup_duplicate_rows_match_duckdb(spark):
+    """Duplicate corpus ROWS (same doc_id twice) must follow row_number
+    semantics in BOTH engines: one copy of the repeated passage is the
+    kept first occurrence, every other copy is a dup. A plain
+    struct==min comparison would mark all copies kept on the Spark side
+    and double-count the digest."""
+    import duckdb
+    import pandas as pd
+
+    pdf = pd.DataFrame({
+        "doc_id": pd.array([1, 1, 7], dtype="int64"),
+        "text": ["a b", "a b", "a b"],
+    })
+    sdf = spark.createDataFrame(pdf)
+    got = sorted(map(tuple, D.passage_dedup(sdf, chunk_tokens=2).collect()))
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = sorted(
+        map(tuple, con.sql(D.sql_passage_dedup(chunk_tokens=2)).fetchall())
+    )
+    assert got == want
+    # doc 1: 2 identical chunks, 1 kept + 1 dup; doc 7: 1 chunk, all dup
+    by_doc = {r[0]: r for r in got}
+    assert by_doc[1][1:3] == (2, 1)
+    assert by_doc[7][1:3] == (1, 1) and by_doc[7][3] == 0

@@ -101,7 +101,10 @@ def test_passage_dedup_skew_safe_first_occurrence(spark):
     assert "Window" not in plan, plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "partial_min" in plan or "HashAggregate" in plan, plan
+    # the min-struct MUST be map-side combined (partial_min before the
+    # exchange) — 'HashAggregate' alone would be vacuously true of the
+    # final per-doc aggregate
+    assert "partial_min" in plan, plan
 
 
 def test_minhash_single_exchange_with_partial_agg(spark):
