@@ -887,16 +887,14 @@ def q_s4_lsh_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_m1_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media metadata + the Arrow-batched mapInPandas decode stage in one
-    driver row (50-query cap): pure-column typed metadata (octet_length,
-    first content byte) id-joined with the deterministic stub-codec
-    decode output — the whole Arrow round-trip stays hash-checked
-    against the byte-exact DuckDB twin."""
+    driver row (50-query cap), computed in ONE batch pass over the media
+    table (the metadata fingerprint byte rides the decode batch — no
+    second payload scan, no join); the whole Arrow round-trip stays
+    hash-checked against the byte-exact DuckDB twin."""
     from ctlp_spark.functions import multimodal as M
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    media = M.media_from_docs(docs)
-    meta = M.media_metadata(media).select("doc_id", "first_byte")
-    return M.decode_media(media).join(meta, "doc_id")
+    return M.decode_media(M.media_from_docs(docs), with_first_byte=True)
 
 
 def _m1_sql() -> str:

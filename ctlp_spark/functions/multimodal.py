@@ -82,9 +82,23 @@ def _fake_decode(payload: bytes, media_type: str) -> tuple[int, int, int]:
     return w, h, frames
 
 
-def decode_media(media: DataFrame) -> DataFrame:
+def decode_media(media: DataFrame, with_first_byte: bool = False) -> DataFrame:
     """Arrow-batched decode stage: mapInPandas over (doc_id, payload,
-    media_type) batches. Python sees whole Arrow batches, never single rows."""
+    media_type) batches. Python sees whole Arrow batches, never single rows.
+
+    ``with_first_byte=True`` appends the metadata fingerprint byte from
+    the SAME batch pass (the payload is already in hand) — one scan of
+    the media table instead of a second metadata scan joined on doc_id;
+    value-identical to ``media_metadata``'s hex expression (int of byte
+    0). At 100 TB the payload column dominates the bytes read, so the
+    second scan is the expensive half of the join it replaces."""
+
+    schema = DECODED_SCHEMA
+    if with_first_byte:
+        schema = T.StructType(
+            DECODED_SCHEMA.fields
+            + [T.StructField("first_byte", T.LongType())]
+        )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -92,7 +106,7 @@ def decode_media(media: DataFrame) -> DataFrame:
                 _fake_decode(p, m)
                 for p, m in zip(pdf["payload"], pdf["media_type"])
             ]
-            yield pd.DataFrame({
+            out = {
                 "doc_id": pdf["doc_id"],
                 "media_type": pdf["media_type"],
                 "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
@@ -100,9 +114,18 @@ def decode_media(media: DataFrame) -> DataFrame:
                 "height": [d[1] for d in dims],
                 "n_frames": [d[2] for d in dims],
                 "ok": [p is not None and len(p) > 0 for p in pdf["payload"]],
-            })
+            }
+            if with_first_byte:
+                # None on empty payload mirrors the column expression
+                # (conv of an empty hex slice -> NULL); generated corpora
+                # have no empty payloads
+                out["first_byte"] = [
+                    int(p[0]) if p is not None and len(p) else None
+                    for p in pdf["payload"]
+                ]
+            yield pd.DataFrame(out)
 
-    return media.mapInPandas(batches, schema=DECODED_SCHEMA)
+    return media.mapInPandas(batches, schema=schema)
 
 
 def decode_media_real(media: DataFrame) -> DataFrame:  # pragma: no cover
