@@ -902,7 +902,9 @@ def _m1_sql() -> str:
 
     meta = """
 SELECT doc_id,
-       CAST(('0x' || substr(hex(encode(text)), 1, 2)) AS BIGINT) AS first_byte
+       CASE WHEN text IS NULL OR octet_length(encode(text)) = 0 THEN -1
+            ELSE CAST(('0x' || substr(hex(encode(text)), 1, 2)) AS BIGINT)
+       END AS first_byte
 FROM documents"""
     return (
         "SELECT d.doc_id, d.media_type, d.n_bytes, d.width, d.height,\n"

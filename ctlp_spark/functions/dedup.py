@@ -871,8 +871,11 @@ def passage_dedup(
     # all NULL chunks collide in one group, and the surviving doc's
     # kept_digest becomes sum(NULL) = NULL — a nullable driver column
     # (memory: driver-oracle-gotchas) and a semantically-false dup
+    # NULL ids are excluded with NULL texts: Spark's min(struct) orders
+    # NULL ids FIRST while the DuckDB twin's row_number orders them LAST,
+    # so a NULL-id row sharing a passage would flip which copy is kept
     ch = chunk_documents(
-        docs.where(F.col(text_col).isNotNull()),
+        docs.where(F.col(text_col).isNotNull() & F.col(id_col).isNotNull()),
         chunk_tokens=chunk_tokens, overlap=0,
         id_col=id_col, text_col=text_col,
     ).select(
@@ -926,7 +929,10 @@ def sql_passage_dedup(t: str = "documents", chunk_tokens: int = 16) -> str:
     NULL-text docs are excluded on both sides."""
     from ctlp_spark.functions.text import sql_chunk_documents
 
-    live = f"(SELECT doc_id, text FROM {t} WHERE text IS NOT NULL) AS _live"
+    live = (
+        f"(SELECT doc_id, text FROM {t} "
+        f"WHERE text IS NOT NULL AND doc_id IS NOT NULL) AS _live"
+    )
     chunks = sql_chunk_documents(live, chunk_tokens, 0)
     h = SQL_SHINGLE_HASH.format(x="chunk_text")
     return f"""

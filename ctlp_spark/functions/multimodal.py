@@ -116,11 +116,11 @@ def decode_media(media: DataFrame, with_first_byte: bool = False) -> DataFrame:
                 "ok": [p is not None and len(p) > 0 for p in pdf["payload"]],
             }
             if with_first_byte:
-                # None on empty payload mirrors the column expression
-                # (conv of an empty hex slice -> NULL); generated corpora
-                # have no empty payloads
+                # -1 sentinel for NULL/empty payloads: driver-oracle
+                # columns must never be nullable ints (CLAUDE.md);
+                # mirrored by the CASE in _m1_sql's twin
                 out["first_byte"] = [
-                    int(p[0]) if p is not None and len(p) else None
+                    int(p[0]) if p is not None and len(p) else -1
                     for p in pdf["payload"]
                 ]
             yield pd.DataFrame(out)

@@ -139,10 +139,13 @@ def turn_deltas_sessions(df: DataFrame, gap_minutes: int = 5) -> DataFrame:
         (delta > gap_us).cast("int")
     )
     running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # role is passed through when present; a minimal (conv_id, turn_idx,
+    # ts) frame is valid input for the sessionize subset
+    passthrough = ["role"] if "role" in df.columns else []
     return df.select(
         "conv_id",
         "turn_idx",
-        "role",
+        *passthrough,
         F.coalesce(delta, F.lit(-1)).cast("bigint").alias("delta_us"),
         F.sum(new_session).over(running).cast("bigint").alias("session_idx"),
     )

@@ -68,30 +68,59 @@ def test_latency_percentiles_rank_selection(spark):
     assert got[("tool", 500_000)] == (7, 1)  # sentinel -1 excluded
 
 
-def test_turn_deltas_sessions_fusion_equals_join(spark, transcripts):
-    """The fused one-window c2 query must be row-identical to joining
-    the two standalone operators."""
-    from ctlp_spark.operators.conversation import (
-        sessionize,
-        turn_deltas,
-        turn_deltas_sessions,
-    )
+def test_turn_deltas_sessions_hand_corpus(spark):
+    """Semantic pin of the SHARED lag/gap machinery against hand-computed
+    expectations (turn_deltas and sessionize are column subsets of the
+    fused operator, so comparing them to each other would be tautological
+    — this test and the independent c2 DuckDB oracle are the real pins):
+    -1 sentinel first turn, exact micro deltas, session split strictly on
+    delta > gap (the 300s boundary itself does NOT split)."""
+    from datetime import datetime, timezone
 
-    fused = sorted(map(tuple, turn_deltas_sessions(transcripts).collect()))
-    joined = sorted(
-        map(
-            tuple,
-            turn_deltas(transcripts)
-            .join(sessionize(transcripts), ["conv_id", "turn_idx"])
-            .collect(),
-        )
+    from ctlp_spark.operators.conversation import turn_deltas_sessions
+
+    def ts(s):
+        return datetime.fromtimestamp(s, tz=timezone.utc).replace(tzinfo=None)
+
+    rows = [
+        ("c1", 0, "user", ts(0)),
+        ("c1", 1, "assistant", ts(10)),        # +10s    -> same session
+        ("c1", 2, "user", ts(310)),            # +300s   -> boundary: same
+        ("c1", 3, "user", ts(611)),            # +301s   -> NEW session
+        ("c2", 0, "user", ts(50)),             # new conv -> -1, session 0
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, ts timestamp"
     )
-    assert fused == joined
-    # one Window node, no join in the fused plan
+    got = {
+        (r.conv_id, r.turn_idx): (r.delta_us, r.session_idx)
+        for r in turn_deltas_sessions(df).collect()
+    }
+    assert got == {
+        ("c1", 0): (-1, 0),
+        ("c1", 1): (10_000_000, 0),
+        ("c1", 2): (300_000_000, 0),
+        ("c1", 3): (301_000_000, 1),
+        ("c2", 0): (-1, 0),
+    }
+    # one Window pass, no join in the fused plan
     plan = (
-        turn_deltas_sessions(transcripts)
+        turn_deltas_sessions(df)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
     assert "Join" not in plan, plan
+
+
+def test_sessionize_accepts_minimal_schema(spark):
+    """sessionize's public contract predates the fusion: a bare
+    (conv_id, turn_idx, ts) frame with no role column must work."""
+    from datetime import datetime
+
+    df = spark.createDataFrame(
+        [("c", 0, datetime(2026, 1, 1)), ("c", 1, datetime(2026, 1, 2))],
+        "conv_id string, turn_idx int, ts timestamp",
+    )
+    rows = sorted((r.turn_idx, r.session_idx) for r in sessionize(df).collect())
+    assert rows == [(0, 0), (1, 1)]

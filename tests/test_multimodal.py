@@ -49,3 +49,32 @@ def test_frame_sample_fanout(media):
         idxs = sorted(r.frame_idx for r in rows)
         assert idxs == list(range(len(idxs)))  # dense frame numbering
         assert all(len(r.frame_md5) == 32 for r in rows)
+
+
+def test_fused_first_byte_matches_metadata_expression(spark):
+    """The fused decode-batch first_byte (Python int(p[0]), -1 sentinel
+    for NULL/empty) must equal media_metadata's hex column expression on
+    every non-degenerate payload — the two definitions must never drift."""
+    from pyspark.sql import functions as F
+
+    from ctlp_spark.functions import multimodal as M
+
+    docs = spark.createDataFrame(
+        [(0, "alpha"), (1, "Zz 9"), (2, ""), (3, None), (4, "\x01\x7f")],
+        "doc_id bigint, text string",
+    )
+    media = M.media_from_docs(docs)
+    fused = {
+        r.doc_id: r.first_byte
+        for r in M.decode_media(media, with_first_byte=True).collect()
+    }
+    meta = {
+        r.doc_id: r.first_byte
+        for r in M.media_metadata(media).collect()
+    }
+    for d, v in meta.items():
+        if v is not None:
+            assert fused[d] == v, d
+    # degenerate payloads: column expression yields NULL, fused path -1
+    assert fused[2] == -1
+    assert fused[3] == -1
