@@ -48,8 +48,9 @@ tagged AS (
 """
 
 # weight_milli is the oracle-facing integer twin of weight: the driver's
-# value-hash compare needs exact integers, never engine-order-dependent
-# double sums (see memory: driver-oracle-gotchas / CLAUDE.md invariants).
+# value-hash compare needs exact integers — engine-order-dependent double
+# sums and nullable ints (float64+NaN after an Arrow hop) hash-mismatch
+# even when semantically equal (CLAUDE.md invariants).
 _ROLE_DIM_ROWS = [
     ("user", "human", 1.0, 1000),
     ("assistant", "model", 1.0, 1000),

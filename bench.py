@@ -18,7 +18,10 @@ Methodology (this host is a noisy VM — single measurements swing ±40%):
   get_json_object is tested in tests/test_compile.py.
 
 Also times the headline oracle-checked queries from ``__spark_entry__`` at
-``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1).
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) — per-query MEDIANS
+of $CTLP_BENCH_QUERY_REPS (default 3) interleaved passes, so
+round-over-round deltas are trustworthy to ~±15% despite the host's ±40%
+single-shot swing.
 
 Output: {"metric", "value" (sec, median flagship at 4N), "unit": "sec",
 "queries": {name: sec}, "sf", "turns_per_sec", "scaling": {...}}.
@@ -215,13 +218,6 @@ def _child_ceiling(cpus: int) -> None:
     spark.stop()
 
 
-# queries whose first materialization is dominated by one-shot plan-build
-# + codegen (audited in BASELINE.md): report the WARM second run so
-# round-over-round comparison tracks steady-state throughput, not codegen
-# noise; the cold time goes to stderr
-_WARM_QUERIES = {"j1_enrich_kept", "t1_text_stats"}
-
-
 def _qkey(name: str) -> str:
     """Family-prefix key for the JSON line ("j1_enrich_kept" -> "j1"):
     the driver captures only the LAST 2000 chars of stdout, and full
@@ -235,42 +231,56 @@ def _child_queries() -> None:
     """Time the headline oracle queries at full parallelism; one JSON line.
     Results are fully materialized to a memory-backed parquet sink.
 
-    A warm-up pass of the first (scan+tag-shaped) query runs untimed so
-    per-query numbers are comparable across reorderings — round 1's
-    p1_route_counts read 6.8 s purely because it paid the fresh JVM's
-    codegen/JIT warm-up (identical-shape queries ran 1.3-3.2 s). The
-    cold-start cost is still reported, split out as _cold_first_query_sec."""
+    Each query is timed QUERY_REPS times in INTERLEAVED full passes over
+    the registry (pass 1 all queries, pass 2 all queries, ...) and the
+    per-query MEDIAN is reported: round 4 showed ~10 queries drifting
+    +25-50% round-over-round with unchanged plans — the host's documented
+    ±40% intra-JVM swing — and a single-shot reading cannot separate that
+    from a regression. Interleaving (rather than back-to-back reps) keeps
+    each query's reps spread across the JVM's noise timeline, and the
+    median of 3 makes the first (codegen-cold) rep of every query an
+    outlier instead of the reported number — subsuming the old
+    _WARM_QUERIES special case for j1/t1. Per-rep values go to stderr;
+    the JSON line carries medians only (2000-char driver window).
+
+    A warm-up pass of the first (scan+tag-shaped) query still runs
+    untimed so pass 1 doesn't charge the fresh JVM's JIT warm-up to one
+    query; its cost is split out on stderr as cold_first_query_sec."""
     import __spark_entry__ as entrymod
 
     from ctlp_spark.functions import dedup as dedup_fns
     from ctlp_spark.session import get_spark
 
+    reps = int(os.environ.get("CTLP_BENCH_QUERY_REPS", "3"))
     sink = os.path.join(_shm_dir(), "qsink")
     spark = get_spark(app_name="bench-queries", cpus=CPUS,
                       shuffle_partitions=max(CPUS, 8))
     qs = entrymod.queries()
     keys = [_qkey(n) for n in qs]
-    assert len(set(keys)) == len(keys), "query family prefixes must be unique"
+    if len(set(keys)) != len(keys):
+        # a real error, not an assert: under `python -O` an assert is
+        # stripped and a duplicate family prefix would silently overwrite
+        # one query's timing in the JSON line
+        dupes = sorted({k for k in keys if keys.count(k) > 1})
+        raise ValueError(f"duplicate query family prefixes: {dupes}")
     first = next(iter(qs))
     t0 = time.perf_counter()
     qs[first](spark, SF_DIR).write.mode("overwrite").parquet(sink)
     cold = round(time.perf_counter() - t0, 3)
-    # cold-start split-out goes to STDERR: the queries map has 50
-    # entries and the driver's 2000-char stdout window needs the room
     sys.stderr.write(f"cold_first_query_sec={cold}\n")
-    out: dict[str, float] = {}
-    for name, fn in qs.items():
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).write.mode("overwrite").parquet(sink)
-        elapsed = round(time.perf_counter() - t0, 3)
-        dedup_fns.release_caches()  # d2 caches its shingle frame per call
-        if name in _WARM_QUERIES:
-            sys.stderr.write(f"cold_{_qkey(name)}_sec={elapsed}\n")
+    samples: dict[str, list[float]] = {n: [] for n in qs}
+    for rep in range(reps):
+        for name, fn in qs.items():
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.mode("overwrite").parquet(sink)
-            elapsed = round(time.perf_counter() - t0, 3)
-            dedup_fns.release_caches()
-        out[_qkey(name)] = elapsed
+            samples[name].append(round(time.perf_counter() - t0, 3))
+            dedup_fns.release_caches()  # d2 caches its shingle frame per call
+        sys.stderr.write(
+            f"rep{rep} " + json.dumps(
+                {_qkey(n): s[rep] for n, s in samples.items()}
+            ) + "\n"
+        )
+    out = {_qkey(n): statistics.median(s) for n, s in samples.items()}
     shutil.rmtree(sink, ignore_errors=True)
     print(json.dumps(out))
     spark.stop()

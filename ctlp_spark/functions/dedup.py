@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -161,13 +161,25 @@ def release_caches() -> None:
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-doc keep/drop decision: the lowest id in each normalized-text
-    fingerprint group is canonical. One hash-shuffle on the fingerprint."""
-    fp = fingerprint_md5(F.col(text_col)).alias("fp")
-    w = Window.partitionBy("fp")
+    fingerprint group is canonical.
+
+    Scale shape (the passage_dedup pattern — see that docstring): per-group
+    min/count come from a ``groupBy("fp")`` aggregate, which is MAP-SIDE
+    COMBINED — a boilerplate doc duplicated 10^9 times reduces to one row
+    per map task before the exchange — then a hash equi-join back to the
+    (id, fp) rows; AQE skew-join splits the hot fingerprint on the probe
+    side. A ``Window.partitionBy("fp")`` here would move and sort the
+    entire hot group onto ONE task (the 100 TB straggler); plan-gated in
+    tests/test_plans.py. The join key is NULL-SAFE so NULL-text docs (fp
+    NULL) group together, matching the window/DuckDB PARTITION BY
+    semantics the oracle pins."""
+    f = docs.select(F.col(id_col), fingerprint_md5(F.col(text_col)).alias("fp"))
+    agg = f.groupBy("fp").agg(
+        F.min(id_col).alias("keep_id"), F.count("*").alias("group_size")
+    )
     return (
-        docs.select(F.col(id_col), fp)
-        .withColumn("keep_id", F.min(id_col).over(w))
-        .withColumn("group_size", F.count("*").over(w))
+        f.join(agg.withColumnRenamed("fp", "_fp"),
+               F.col("fp").eqNullSafe(F.col("_fp")))
         .select(
             id_col,
             "fp",
@@ -279,11 +291,38 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text",
+    bucket_mode: str = "all_pairs",
 ) -> DataFrame:
     """Banded-LSH candidate pairs: equal band-key (md5 of ROWS_PER_BAND
     consecutive min-hashes) in any band. The join key (band_idx, band_key)
-    is md5-uniform — no skew at scale."""
+    is md5-uniform ACROSS DISTINCT CONTENTS — no skew at scale from hash
+    collisions. Skew from the DATA is another matter: all m members of one
+    near-dup cluster share band keys, so one bucket holds m rows.
+
+    ``bucket_mode`` bounds the per-bucket candidate blow-up:
+
+    * ``"all_pairs"`` (default) — the textbook bucket self-join: every
+      in-bucket pair is a candidate (~m²/2 rows from an m-member bucket
+      before ``distinct``). Exact LSH recall; this is the oracle-identical
+      mode every driver query uses. Fine until a web-scale boilerplate
+      cluster (m ~ 10^6) makes one bucket emit ~5·10^11 rows.
+    * ``"chain"`` — each doc pairs only with its bucket's MIN doc id
+      (groupBy min, map-side combined → hash join back, AQE-splittable):
+      m-1 candidate rows per bucket, linear in the cluster. RECALL
+      CONTRACT: connectivity is preserved for the downstream
+      connected-components decision whenever in-bucket members verify
+      against the bucket minimum (true for the mega-cluster case this
+      mode exists for — mutually-near-duplicate boilerplate); borderline
+      pairs that verify against each other but NOT against the bucket min
+      can split a group that all_pairs would join. Candidate-pair
+      consumers that need the full pair list (d3's candidate counts)
+      must stay on all_pairs.
+
+    Both modes are pinned equal on exact-duplicate clusters (where the
+    contract is lossless) in tests/test_dedup.py, and the chain mode's
+    O(m) candidate growth on an implanted hot cluster is measured there.
+    """
     sig = minhash_signatures(docs, n, id_col, text_col)
     bands = sig.select(
         "doc",
@@ -305,6 +344,20 @@ def lsh_candidate_pairs(
             ])
         ).alias("b"),
     ).select("doc", "b.band_idx", "b.band_key")
+    if bucket_mode == "chain":
+        mins = bands.groupBy("band_idx", "band_key").agg(
+            F.min("doc").alias("doc_min")
+        )
+        return (
+            bands.join(mins, on=["band_idx", "band_key"])
+            .where(F.col("doc") > F.col("doc_min"))
+            .select(
+                F.col("doc_min").alias("doc_a"), F.col("doc").alias("doc_b")
+            )
+            .distinct()
+        )
+    if bucket_mode != "all_pairs":
+        raise ValueError(f"unknown bucket_mode: {bucket_mode!r}")
     return (
         bands.alias("x")
         .join(bands.alias("y"), on=["band_idx", "band_key"])
@@ -622,20 +675,39 @@ def neardup_groups(
     threshold_ppm: int = 300_000,
     id_col: str = "doc_id",
     text_col: str = "text",
+    bucket_mode: str = "all_pairs",
 ) -> DataFrame:
     """End-to-end dedup decision: LSH→verify near-dup pairs → connected
     components → per-doc (group_id, group_size, is_canonical). Keep rows
-    where is_canonical; at 100 TB this is THE final dedup operator."""
-    pairs = neardup_pipeline(docs, n, threshold_ppm, id_col, text_col)
+    where is_canonical; at 100 TB this is THE final dedup operator.
+    ``bucket_mode="chain"`` caps a boilerplate mega-cluster's candidates
+    at O(m) per bucket — lossless when members verify against the bucket
+    min (recall contract in ``lsh_candidate_pairs``)."""
+    pairs = neardup_pipeline(
+        docs, n, threshold_ppm, id_col, text_col, bucket_mode=bucket_mode
+    )
     nodes = docs.select(F.col(id_col).alias("doc"))
     cc = connected_components(nodes, pairs)
-    w = Window.partitionBy("group_id")
+    grp = cc.select(
+        F.col("node").alias(id_col), F.col("label").alias("group_id")
+    )
+    # group_size via map-side-combined groupBy + hash join back (the
+    # passage_dedup / exact_dedup shape): a mega near-dup group collapses
+    # to one row per map task before the exchange, and AQE skew-join
+    # splits the hot group_id on the probe side. A Window.partitionBy
+    # ("group_id") here would sort the whole mega-group on one task.
+    # Plan-gated in tests/test_plans.py. eqNullSafe: a NULL doc_id node
+    # carries a NULL label; PARTITION BY groups NULLs together, so must we.
+    sizes = grp.groupBy("group_id").agg(F.count("*").alias("group_size"))
     return (
-        cc.select(
-            F.col("node").alias(id_col), F.col("label").alias("group_id")
+        grp.join(sizes.withColumnRenamed("group_id", "_gid"),
+                 F.col("group_id").eqNullSafe(F.col("_gid")))
+        .select(
+            id_col,
+            "group_id",
+            "group_size",
+            (F.col(id_col) == F.col("group_id")).alias("is_canonical"),
         )
-        .withColumn("group_size", F.count("*").over(w))
-        .withColumn("is_canonical", F.col(id_col) == F.col("group_id"))
     )
 
 
@@ -765,6 +837,7 @@ def neardup_pipeline(
     text_col: str = "text",
     checkpoint: str | None = "local",
     prefilter: str = "semi",
+    bucket_mode: str = "all_pairs",
 ) -> DataFrame:
     """The near-dup SCALE PATH, end to end: MinHash-LSH blocking
     (linear-time, md5-uniform band keys) → exact Jaccard verification on
@@ -773,10 +846,12 @@ def neardup_pipeline(
     ``ngram_jaccard_pairs`` at 100 TB; d2 remains a small-SF ground-truth
     check of the verifier itself. ``prefilter="bloom"`` swaps the exact
     candidate-id semi-join for a broadcast Bloom bitmap (see
-    ``jaccard_on_candidates``) — same output, no docs-side shuffle."""
+    ``jaccard_on_candidates``) — same output, no docs-side shuffle.
+    ``bucket_mode="chain"`` bounds a mega-cluster's candidate blow-up to
+    O(m) per band bucket (recall contract in ``lsh_candidate_pairs``)."""
     return jaccard_on_candidates(
         docs,
-        lsh_candidate_pairs(docs, n, id_col, text_col),
+        lsh_candidate_pairs(docs, n, id_col, text_col, bucket_mode=bucket_mode),
         n=n,
         threshold_ppm=threshold_ppm,
         id_col=id_col,
@@ -850,9 +925,15 @@ def passage_dedup(
 
     Output per doc with >= 1 passage: ``(doc_id, n_chunks, n_dup_chunks,
     kept_digest)`` where kept_digest = sum over SURVIVING passages of
-    (chunk_idx + 1) * hash60(chunk_text) — an order-weighted integer
-    checksum of the doc-after-span-dedup (driver-comparable without
-    emitting reconstructed text; values < 2^45, no overflow).
+    ((chunk_idx + 1) * passage_hash) mod P (P = 2^31-1, the shingle-hash
+    modulus) — an order-weighted integer checksum of the
+    doc-after-span-dedup, driver-comparable without emitting
+    reconstructed text. The PER-TERM mod keeps every term < 2^31, so the
+    BIGINT sum is exact (identical on both engines — DuckDB sums in
+    HUGEINT and casts) up to 2^32 chunks per doc (~68 B tokens at
+    chunk_tokens=16; an un-modded (idx+1)·hash term would overflow at
+    ~90k chunks, where Spark's non-ANSI sum wraps silently while the
+    DuckDB cast raises — a cross-engine divergence).
 
     Scale shape: chunking rides the scan (no shuffle, plan-gated for
     t10). First occurrences come from a groupBy(passage-md5) min-struct
@@ -870,7 +951,8 @@ def passage_dedup(
     # chunker emits one NULL chunk per NULL doc (greatest(NULL,1) = 1),
     # all NULL chunks collide in one group, and the surviving doc's
     # kept_digest becomes sum(NULL) = NULL — a nullable driver column
-    # (memory: driver-oracle-gotchas) and a semantically-false dup
+    # (degrades to float64+NaN in Arrow, breaking the value-hash
+    # compare) and a semantically-false dup
     # NULL ids are excluded with NULL texts: Spark's min(struct) orders
     # NULL ids FIRST while the DuckDB twin's row_number orders them LAST,
     # so a NULL-id row sharing a passage would flip which copy is kept
@@ -914,8 +996,10 @@ def passage_dedup(
         .cast("bigint")
         .alias("n_dup_chunks"),
         F.sum(
-            F.when(F.col("_is_first"), (F.col("chunk_idx") + 1) * F.col("h"))
-            .otherwise(0)
+            F.when(
+                F.col("_is_first"),
+                ((F.col("chunk_idx").cast("bigint") + 1) * F.col("h")) % P,
+            ).otherwise(0)
         )
         .cast("bigint")
         .alias("kept_digest"),
@@ -946,7 +1030,7 @@ r AS (
 SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_chunks,
        CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
-       CAST(sum(CASE WHEN rn = 1 THEN (chunk_idx + 1) * h ELSE 0 END)
+       CAST(sum(CASE WHEN rn = 1 THEN ((chunk_idx + 1) * h) % {P} ELSE 0 END)
             AS BIGINT) AS kept_digest
 FROM r GROUP BY doc_id"""
 
@@ -962,6 +1046,7 @@ def decontaminate(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast: bool = True,
 ) -> DataFrame:
     """Training-corpus decontamination: flag every corpus doc that shares
     at least one word n-gram shingle with a held-out benchmark/eval
@@ -975,11 +1060,19 @@ def decontaminate(
     docs; no NULLs).
 
     Scale shape: the benchmark's distinct shingle-hash set is tiny
-    (benchmarks are small) and BROADCAST; the corpus side is one
-    codegen-able shingle explode feeding a broadcast hash join — the
+    (benchmarks are small) and BROADCAST by default; the corpus side is
+    one codegen-able shingle explode feeding a broadcast hash join — the
     corpus is NEVER shuffled by shingle. The (doc, shingle) distinct +
     per-doc count exchange only the HIT rows (post-join, usually a
     vanishing fraction).
+
+    SIZE ASSUMPTION of ``broadcast=True``: the benchmark's distinct
+    shingle-hash set must fit the driver + every executor (~8 bytes a
+    hash — a 10M-shingle benchmark is ~80 MB, near Spark's practical
+    broadcast comfort zone). An oversized benchmark fails with Spark's
+    broadcast-size/OOM error; pass ``broadcast=False`` to fall back to a
+    shuffle hash join (corpus shingles exchange by hash — slower, but
+    unbounded on the benchmark side).
     """
     b = (
         shingle_rows(benchmark, n, id_col, text_col)
@@ -990,7 +1083,7 @@ def decontaminate(
         "doc", shingle_hash(F.col("sh")).alias("h")
     )
     hits = (
-        c.join(F.broadcast(b), "h")
+        c.join(F.broadcast(b) if broadcast else b, "h")
         .select("doc", "h")
         .distinct()
         .groupBy("doc")

@@ -29,7 +29,8 @@ All state is exact integers:
 The float HLL estimate (alpha_m * m^2 * 2^49 / s_scaled, with the
 standard linear-counting small-range correction) lives only in the
 Python helper ``hll_estimate`` — oracle outputs stay pure integer
-(memory: driver-oracle-gotchas).
+(floats round differently across engines; the driver's value-hash
+compare tolerates no last-ulp drift).
 """
 
 from __future__ import annotations

@@ -255,7 +255,8 @@ def lang_id_frame(docs, id_col: str = "doc_id", text_col: str = "text"):
 
 
 def tfidf_top_terms(
-    docs, k: int = 5, id_col: str = "doc_id", text_col: str = "text"
+    docs, k: int = 5, id_col: str = "doc_id", text_col: str = "text",
+    broadcast_vocab: bool = True,
 ):
     """Per-doc top-k terms by tf·idf, in EXACT integer arithmetic so both
     engines hash identically: idf_milli = (N·1000) div df (a rational
@@ -263,8 +264,15 @@ def tfidf_top_terms(
     ulp, which the value-hash compare cannot tolerate), score_milli =
     tf · idf_milli, ties broken by term. Plan: explode → (doc, term)
     count → term df (map-side combinable) → broadcastable N → window
-    top-k per doc. Two shuffles plus the per-doc window — each keyed on
-    uniform term/doc hashes."""
+    top-k per doc.
+
+    ``broadcast_vocab=True`` (default) broadcasts the per-term df
+    relation into the tf join: natural-language vocabularies are tiny
+    next to the corpus, and the shuffle alternative exchanges EVERY
+    (doc, term) tf row keyed by term — stop words are the hottest keys
+    in the table. Pass False for web-scale vocabularies (unbounded
+    token sets) to fall back to the shuffle hash join, where AQE's
+    skew-join splits the stop-word partitions."""
     toks = docs.select(
         F.col(id_col).alias("doc"),
         F.explode(F.split(norm_text(F.col(text_col)), " ")).alias("term"),
@@ -273,7 +281,7 @@ def tfidf_top_terms(
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n"))
     scored = (
-        tf.join(dfreq, "term")
+        tf.join(F.broadcast(dfreq) if broadcast_vocab else dfreq, "term")
         .crossJoin(F.broadcast(n))
         .select(
             "doc",

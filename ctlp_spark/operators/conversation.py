@@ -75,35 +75,94 @@ def latency_percentiles(
     qs_ppm: tuple[int, ...] = (500_000, 900_000, 990_000),
     group_col: str = "role",
     value_col: str = "delta_us",
+    bucket_span: int = 1_000_000,
 ) -> DataFrame:
     """EXACT per-group order statistics (p50/p90/p99 of turn latency) via
-    explicit rank selection: the value at row ceil(q·n) of each group's
-    sorted values. Interpolating percentile/median and t-digest/HLL-style
+    rank selection: the value at row ceil(q·n) of each group's sorted
+    values. Interpolating percentile/median and t-digest/HLL-style
     sketches are engine-specific (not oracle-comparable); rank selection
-    is exact, deterministic under ties (only the VALUE at the position is
-    emitted), and distributed — one per-group sort window, the same
-    shuffle any exact percentile requires. Sentinel/-negative rows
-    (first-turn -1 from turn_deltas) are excluded."""
+    is exact and deterministic under ties (only the VALUE at the position
+    is emitted). Sentinel/negative rows (first-turn -1 from turn_deltas)
+    are excluded.
+
+    Scale shape — the DISTINCT-VALUE HISTOGRAM, not a per-group row sort.
+    ``group_col`` has a handful of values (roles), so a
+    ``row_number().over(Window.partitionBy(group))`` would sort ~1/|groups|
+    of ALL ROWS on one task — the single-task straggler at 10^12 turns.
+    Instead:
+
+    1. ``groupBy(group, value).count()`` — map-side combined; a hot value
+       collapses to one row per map task before the exchange. Everything
+       after operates on the (much smaller) distinct-value relation.
+    2. cumulative counts via the two-phase bucketed prefix sum
+       (functions/packing.py's pattern, kept fully distributed): values
+       bucket by ``value div bucket_span`` → in-bucket running sums under a
+       window PARTITIONED BY (group, bucket) — each sort task holds at
+       most ``bucket_span`` distinct integer values — then per-bucket
+       totals (one row per occupied bucket) prefix-sum under a window over
+       that tiny relation and broadcast-join back as exclusive offsets.
+    3. the rank-q answer is the value whose cumulative run covers the
+       target rank: ``cum - c < target <= cum`` — one broadcast join of
+       the 3×|groups| target rows against the histogram.
+
+    Target rank = ceil(q·n / 1e6) in TRUE integer arithmetic: `div` is
+    bigint division (double division is exact only while q·n < 2^53, and
+    floor of an inexact double can be off by one). The DuckDB twin (the
+    naive row_number spelling — fine at oracle SF) uses `//` likewise.
+    """
     d = deltas.where(F.col(value_col) >= 0)
-    w = Window.partitionBy(group_col).orderBy(value_col)
-    ranked = d.select(
-        group_col,
-        value_col,
-        F.row_number().over(w).alias("_rn"),
-        F.count("*").over(Window.partitionBy(group_col)).alias("_n"),
+    hist = (
+        d.groupBy(group_col, value_col)
+        .agg(F.count("*").alias("_c"))
+        .withColumn("_bucket", F.expr(f"{value_col} div {bucket_span}"))
     )
-    qs = F.explode(
-        F.array(*[F.lit(q).cast("bigint") for q in qs_ppm])
-    ).alias("q_ppm")
-    # target rank = ceil(q·n / 1e6) in TRUE integer arithmetic: `div` is
-    # bigint division (Python/SQL `/` on bigints is double division in
-    # Spark, exact only while q·n < 2^53 — i.e. n <~ 9.1e9 rows per group,
-    # below the 10^12-turn design scale; floor of an inexact double can be
-    # off by one). The DuckDB twin uses `//` for the same reason.
-    target = F.expr("(q_ppm * _n + 999999) div 1000000")
+    wloc = (
+        Window.partitionBy(group_col, "_bucket")
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = hist.withColumn("_local_cum", F.sum("_c").over(wloc))
+    totals = hist.groupBy(group_col, "_bucket").agg(
+        F.sum("_c").alias("_total")
+    )
+    woff = (
+        Window.partitionBy(group_col)
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offs = totals.select(
+        group_col,
+        "_bucket",
+        (F.sum("_total").over(woff) - F.col("_total")).alias("_offset"),
+        F.sum("_total").over(Window.partitionBy(group_col)).alias("_n"),
+    )
+    # _n rides only the targets side of the final join (offs carries it
+    # too — selecting it from both lineages would be ambiguous)
+    cum = local.join(
+        F.broadcast(offs.select(group_col, "_bucket", "_offset")),
+        on=[group_col, "_bucket"],
+    ).withColumn("_cum", F.col("_offset") + F.col("_local_cum"))
+    targets = (
+        offs.select(group_col, "_n")
+        .distinct()
+        .select(
+            group_col,
+            "_n",
+            F.explode(
+                F.array(*[F.lit(q).cast("bigint") for q in qs_ppm])
+            ).alias("q_ppm"),
+        )
+        .withColumn("_target", F.expr("(q_ppm * _n + 999999) div 1000000"))
+    )
     return (
-        ranked.select(group_col, value_col, "_rn", "_n", qs)
-        .where(F.col("_rn") == target)
+        cum.join(
+            F.broadcast(targets.withColumnRenamed(group_col, "_g")),
+            F.col(group_col) == F.col("_g"),
+        )
+        .where(
+            (F.col("_cum") >= F.col("_target"))
+            & (F.col("_cum") - F.col("_c") < F.col("_target"))
+        )
         .select(
             group_col,
             "q_ppm",

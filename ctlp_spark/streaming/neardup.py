@@ -100,18 +100,36 @@ def doc_band_rows(
     ).select("doc_id", "b.band_idx", "b.band_key")
 
 
-def lsh_candidates_stateful(band_rows: DataFrame) -> DataFrame:
+def lsh_candidates_stateful(
+    band_rows: DataFrame, bucket_mode: str = "all_pairs"
+) -> DataFrame:
     """Banded-LSH candidate maintenance as grouped state: one state entry
-    per (band_idx, band_key) bucket holding the doc ids seen so far. Each
-    arriving doc emits (existing_doc, new_doc) candidate rows plus one
-    arrival row (doc_b = -1). A pair is emitted by every shared band in the
-    SAME micro-batch (a doc arrives once), so a downstream per-batch
-    ``distinct`` fully dedupes."""
+    per (band_idx, band_key) bucket. Each arriving doc emits candidate
+    rows plus one arrival row (doc_b = -1). A pair is emitted by every
+    shared band in the SAME micro-batch (a doc arrives once), so a
+    downstream per-batch ``distinct`` fully dedupes.
+
+    ``bucket_mode`` is the streaming twin of the batch knob
+    (``functions.dedup.lsh_candidate_pairs`` — recall contract there):
+
+    * ``"all_pairs"`` (default) — state holds EVERY doc id seen in the
+      bucket; each arrival pairs against all of them. Exact LSH recall;
+      state and emission are O(m) / O(m²) in a hot bucket.
+    * ``"chain"`` — state holds only the bucket's RUNNING MIN doc id;
+      each arrival emits one pair against it (and replaces it when
+      smaller). State is O(1) per bucket and emission O(1) per arrival —
+      a boilerplate mega-cluster can no longer grow bucket state or go
+      quadratic. Connectivity through mins is transitive, so the group
+      decision matches the batch chain mode (pinned in
+      tests/test_streaming_neardup.py)."""
     import pandas as pd  # noqa: PLC0415
     from pyspark.sql.streaming.state import (  # noqa: PLC0415
         GroupState,
         GroupStateTimeout,
     )
+    if bucket_mode not in ("all_pairs", "chain"):
+        raise ValueError(f"unknown bucket_mode: {bucket_mode!r}")
+    chain = bucket_mode == "chain"
 
     def update(key, pdf_iter, state: GroupState):
         existing: list[int] = list(state.get[0]) if state.exists else []
@@ -121,14 +139,28 @@ def lsh_candidates_stateful(band_rows: DataFrame) -> DataFrame:
         new_ids = sorted(set(new_ids) - set(existing))
         a_out: list[int] = []
         b_out: list[int] = []
-        for pos, nid in enumerate(new_ids):
-            a_out.append(nid)
-            b_out.append(_ARRIVAL)
-            for old in existing + new_ids[:pos]:
-                lo, hi = (old, nid) if old < nid else (nid, old)
+        if chain:
+            cur_min = existing[0] if existing else None
+            for nid in new_ids:
+                a_out.append(nid)
+                b_out.append(_ARRIVAL)
+                if cur_min is None:
+                    cur_min = nid
+                    continue
+                lo, hi = (cur_min, nid) if cur_min < nid else (nid, cur_min)
                 a_out.append(lo)
                 b_out.append(hi)
-        state.update((existing + new_ids,))
+                cur_min = lo
+            state.update(([cur_min] if cur_min is not None else [],))
+        else:
+            for pos, nid in enumerate(new_ids):
+                a_out.append(nid)
+                b_out.append(_ARRIVAL)
+                for old in existing + new_ids[:pos]:
+                    lo, hi = (old, nid) if old < nid else (nid, old)
+                    a_out.append(lo)
+                    b_out.append(hi)
+            state.update((existing + new_ids,))
         yield pd.DataFrame({"doc_a": a_out, "doc_b": b_out})
 
     return band_rows.groupBy("band_idx", "band_key").applyInPandasWithState(
@@ -257,6 +289,7 @@ def run_streaming_neardup(
     schema: str = "doc_id bigint, text string",
     max_files_per_trigger: int | None = None,
     distributed_threshold: int = DISTRIBUTED_DECISION_THRESHOLD,
+    bucket_mode: str = "all_pairs",
 ):
     """Start the streaming near-dup decision; returns the StreamingQuery
     (Trigger.AvailableNow — one bounded drain per call, resumable from the
@@ -275,7 +308,9 @@ def run_streaming_neardup(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.load(src_dir)
-    cands = lsh_candidates_stateful(doc_band_rows(stream, n=n))
+    cands = lsh_candidates_stateful(
+        doc_band_rows(stream, n=n), bucket_mode=bucket_mode
+    )
     assign_root = os.path.join(out_dir, "assignments")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:

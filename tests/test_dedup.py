@@ -361,3 +361,76 @@ def test_passage_dedup_duplicate_rows_match_duckdb(spark):
     by_doc = {r[0]: r for r in got}
     assert by_doc[1][1:3] == (2, 1)
     assert by_doc[7][1:3] == (1, 1) and by_doc[7][3] == 0
+
+
+def test_lsh_chain_candidates_linear_in_hot_cluster(spark):
+    """An implanted 10^4-member exact-dup cluster must produce O(m)
+    candidate rows in chain mode (m-1 after distinct) — the all_pairs
+    bucket self-join would emit ~m^2/2 rows from the same bucket (the
+    web-scale boilerplate-cluster blow-up, VERDICT r4 #4)."""
+    m = 10_000
+    hot = spark.range(m).selectExpr(
+        "id AS doc_id",
+        "'the same boilerplate footer text repeated across every page of "
+        "the site with enough tokens to shingle' AS text",
+    )
+    assert D.lsh_candidate_pairs(hot, bucket_mode="chain").count() == m - 1
+
+
+def test_lsh_chain_equals_all_pairs_on_small_buckets(spark):
+    """Buckets of size <= 2 emit the identical pair in both modes, and an
+    exact-dup cluster chains losslessly: neardup_groups(chain) ==
+    neardup_groups(all_pairs) on a corpus of exact-dup clusters plus
+    distinct-vocabulary singletons (the chain recall contract's lossless
+    case)."""
+    rows = []
+    # cluster A: 5 exact dups; cluster B: 3 exact dups; near-dup pair C
+    for i in range(5):
+        rows.append((i, "alpha beta gamma delta epsilon zeta eta theta"))
+    for i in range(10, 13):
+        rows.append((i, "north south east west upward downward leftward"))
+    rows.append((20, "one two three four five six seven eight nine ten"))
+    rows.append((21, "one two three four five six seven eight nine tenx"))
+    for i in range(30, 40):
+        rows.append((i, f"unique{i} tokens{i} nothing{i} shared{i} "
+                        f"here{i} ever{i} really{i}"))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    chain = sorted(
+        (r.doc_id, r.group_id, r.group_size, r.is_canonical)
+        for r in D.neardup_groups(docs, bucket_mode="chain").collect()
+    )
+    allp = sorted(
+        (r.doc_id, r.group_id, r.group_size, r.is_canonical)
+        for r in D.neardup_groups(docs, bucket_mode="all_pairs").collect()
+    )
+    assert chain == allp
+    # and the clusters actually grouped (the test isn't vacuous)
+    groups = {d: g for d, g, *_ in chain}
+    assert {groups[i] for i in range(5)} == {0}
+    assert {groups[i] for i in range(10, 13)} == {10}
+    assert groups[21] == 20
+
+
+def test_lsh_bad_bucket_mode_raises(spark):
+    docs = spark.createDataFrame([(1, "a b c d e")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="bucket_mode"):
+        D.lsh_candidate_pairs(docs, bucket_mode="nope")
+
+
+def test_exact_dedup_null_texts_group_together(spark):
+    """NULL-text docs (fp NULL) must form ONE group with the lowest id
+    canonical — the window/DuckDB PARTITION BY semantics the groupBy+join
+    rewrite preserves via a null-safe join key (a plain equi-join would
+    silently DROP every NULL-fp row)."""
+    docs = spark.createDataFrame(
+        [(1, "same text here"), (2, None), (3, "same text here"), (4, None)],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.doc_id: (r.keep_id, r.group_size, r.is_canonical)
+        for r in D.exact_dedup(docs).collect()
+    }
+    assert got == {
+        1: (1, 2, True), 3: (1, 2, False),
+        2: (2, 2, True), 4: (2, 2, False),
+    }

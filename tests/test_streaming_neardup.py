@@ -190,3 +190,107 @@ def test_large_batch_never_collects_pair_set(spark, dirs, monkeypatch):
     q.awaitTermination()
     got = _assignments(spark, out)
     assert got == {i: 1 for i in range(1, n + 1)}
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for unit-testing the stateful update
+    function's emission/state contract without a streaming query."""
+
+    def __init__(self):
+        self.exists = False
+        self.get = None
+
+    def update(self, value):
+        self.get = value
+        self.exists = True
+
+
+def test_chain_mode_state_and_emission_bounded():
+    """chain mode: state is O(1) (the running bucket min) and each arrival
+    emits exactly one pair + one arrival row — a hot bucket can no longer
+    grow state or go quadratic (VERDICT r4 #4, streaming twin)."""
+    from ctlp_spark.streaming.neardup import lsh_candidates_stateful
+
+    update = None
+
+    class _Probe:
+        def groupBy(self, *a):
+            return self
+
+        def applyInPandasWithState(self, fn, **kw):
+            nonlocal update
+            update = fn
+            return None
+
+    lsh_candidates_stateful(_Probe(), bucket_mode="chain")
+    state = _FakeState()
+    out1 = pd.concat(update(None, [pd.DataFrame({"doc_id": [5, 9]})], state))
+    # first batch: arrivals for 5 and 9, one chained pair (5, 9)
+    assert state.get == ([5],)
+    assert len(out1) == 3
+    assert {(int(a), int(b)) for a, b in zip(out1.doc_a, out1.doc_b)} == {
+        (5, -1), (9, -1), (5, 9)
+    }
+    # 1000 more arrivals: state stays a single id; emission 2 rows per doc
+    big = pd.DataFrame({"doc_id": list(range(10, 1010))})
+    out2 = pd.concat(update(None, [big], state))
+    assert state.get == ([5],)
+    assert len(out2) == 2000
+    # a new smaller id replaces the running min
+    out3 = pd.concat(update(None, [pd.DataFrame({"doc_id": [2]})], state))
+    assert state.get == ([2],)
+    assert {(int(a), int(b)) for a, b in zip(out3.doc_a, out3.doc_b)} == {
+        (2, -1), (2, 5)
+    }
+
+
+def test_chain_mode_all_pairs_state_unbounded_contrast():
+    """all_pairs (default) keeps full membership — documents the contrast
+    the chain knob exists for."""
+    from ctlp_spark.streaming.neardup import lsh_candidates_stateful
+
+    update = None
+
+    class _Probe:
+        def groupBy(self, *a):
+            return self
+
+        def applyInPandasWithState(self, fn, **kw):
+            nonlocal update
+            update = fn
+            return None
+
+    lsh_candidates_stateful(_Probe())
+    state = _FakeState()
+    pd.concat(update(None, [pd.DataFrame({"doc_id": [1, 2, 3]})], state))
+    assert state.get == ([1, 2, 3],)
+
+
+def test_streaming_chain_matches_batch_chain(spark, dirs):
+    """chain-mode stream equals chain-mode batch d8 on a no-bridge corpus
+    (running-min connectivity is transitive across micro-batches)."""
+    from ctlp_spark.functions.dedup import neardup_groups
+    from ctlp_spark.streaming.neardup import run_streaming_neardup
+
+    src, out, ckpt = dirs
+    _write_doc(src, 1, _VOCAB[1])
+    _write_doc(src, 2, _VOCAB[2])
+    _write_doc(src, 3, _neardup_of(_VOCAB[1], "varx"))
+    _write_doc(src, 4, _neardup_of(_VOCAB[2], "vary"))
+    _write_doc(src, 5, _neardup_of(_VOCAB[1], "varz"))
+    q = run_streaming_neardup(
+        spark, src, out, ckpt, max_files_per_trigger=2, bucket_mode="chain"
+    )
+    q.awaitTermination()
+    streaming = {
+        (r.doc_id, r.group_id)
+        for r in neardup_assignments(spark, out).collect()
+    }
+    batch = {
+        (r.doc_id, r.group_id)
+        for r in neardup_groups(
+            spark.read.parquet(src), bucket_mode="chain"
+        ).collect()
+    }
+    assert streaming == batch
+    assert {g for _, g in streaming} == {1, 2}
