@@ -662,9 +662,13 @@ def q_c5_asof_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("ver").alias("ver"))
         .withColumn("cts_at", F.col("cts"))
     )
+    # time-bucketed scale path: role has ~4 values, so the direct
+    # one-window spelling would sort a quarter of ALL turns on one task;
+    # bucketing bounds each sort task to one role-hour (output pinned
+    # identical to the direct path in tests/test_asof.py)
     out = asof_join(
         t, cp, keys=["role"], value_cols=["ver", "cts_at"],
-        left_ts="ts", right_ts="cts",
+        left_ts="ts", right_ts="cts", time_bucket_us=3_600_000_000,
     )
     return out.select(
         "conv_id",

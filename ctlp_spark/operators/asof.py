@@ -49,10 +49,31 @@ def asof_join(
     value_cols: Sequence[str],
     left_ts: str = "ts",
     right_ts: str = "ts",
+    time_bucket_us: int | None = None,
 ) -> DataFrame:
     """Backward as-of left join: every left row gains ``value_cols`` from
     the latest right row with the same ``keys`` and right_ts <= left_ts
-    (NULL where no such row exists)."""
+    (NULL where no such row exists).
+
+    ``time_bucket_us`` picks the physical strategy (IDENTICAL output,
+    pinned by fuzz in tests/test_asof.py):
+
+    * ``None`` — the direct one-window spelling (module docstring): one
+      shuffle on ``keys``, one sort per key. Right when keys are
+      high-cardinality (conv_id, entity id). When keys are LOW-cardinality
+      (c5 joins on ~4 roles) every window task sorts ~1/|keys| of ALL
+      rows — the single-task straggler at 10^12 turns.
+    * an int (microseconds) — the SCALE PATH for low-cardinality keys:
+      rows bucket by ``unix_micros(ts) div W`` and the window partitions
+      by (keys, bucket), so each sort task holds one key's rows in one
+      W-µs span. The right row active at each bucket's start is
+      forward-filled across buckets on the per-(key, bucket) LATEST-RIGHT
+      relation (one row per occupied bucket — the same tiny-relation
+      two-phase carry as latency_percentiles' prefix sum) and injected as
+      one boundary row per bucket, so in-bucket matching stays local and
+      exact. Requires a timestamp-castable ts column; pick W so one key's
+      rows per W span fit a task (the skew bound becomes rows-per-
+      key-per-span, not rows-per-key)."""
     overlap = set(value_cols) & set(left.columns)
     if overlap:
         raise ValueError(f"value_cols already exist on the left side: {overlap}")
@@ -65,13 +86,6 @@ def asof_join(
     # allowMissingColumns: left rows get NULL value_cols, right rows get
     # NULL left columns — last(ignorenulls) then fills values forward
     u = l_side.unionByName(r_side, allowMissingColumns=True)
-    w = (
-        Window.partitionBy(*keys)
-        # right rows sort BEFORE left rows at equal timestamps, so an
-        # exactly-simultaneous right row is matched (>= semantics)
-        .orderBy(F.col(_TS).asc(), F.col(_IS_RIGHT).desc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     # one struct of ALL value columns, tagged non-NULL on every right row
     # (even when the values inside are NULL): last(ignorenulls) then picks
     # the latest right ROW, preserving its NULLs and keeping all value_cols
@@ -79,11 +93,95 @@ def asof_join(
     row_struct = F.when(
         F.col(_IS_RIGHT) == 1, F.struct(*[F.col(v) for v in value_cols])
     )
-    filled = u.select(
-        "*",
-        F.last(row_struct, ignorenulls=True).over(w).alias("_asof_row"),
-    )
+    if time_bucket_us is None:
+        w = (
+            Window.partitionBy(*keys)
+            # right rows sort BEFORE left rows at equal timestamps, so an
+            # exactly-simultaneous right row is matched (>= semantics)
+            .orderBy(F.col(_TS).asc(), F.col(_IS_RIGHT).desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        filled = u.select(
+            "*",
+            F.last(row_struct, ignorenulls=True).over(w).alias("_asof_row"),
+        )
+    else:
+        filled = _asof_bucketed(u, keys, row_struct, time_bucket_us)
     out = filled.where(F.col(_IS_RIGHT) == 0)
     for v in value_cols:
         out = out.drop(v).withColumn(v, F.col(f"_asof_row.{v}"))
-    return out.drop("_asof_row", _IS_RIGHT, _TS)
+    return out.drop("_asof_row", _IS_RIGHT, _TS, "_asof_ord", "_asof_bkt",
+                    "_asof_boundary")
+
+
+def _asof_bucketed(u, keys, row_struct, bucket_us: int):
+    """Time-bucketed as-of fill over the tagged union ``u`` — see
+    ``asof_join``. Three bounded pieces replace the per-key global sort:
+
+    1. per-(keys, bucket) latest right row over every OCCUPIED bucket:
+       one map-side-combined ``max(when(right, struct(ord, row)))``
+       aggregate (a hot bucket combines per map task; bucket with no
+       rights → NULL);
+    2. the carry: on that one-row-per-occupied-bucket relation, forward-
+       fill the latest right row seen in any EARLIER bucket of the same
+       key (window over the tiny relation only);
+    3. per-(keys, bucket) window with the carried row injected as a
+       boundary row sorting before everything in its bucket.
+    """
+    ord_col = F.unix_micros(F.col(_TS).cast("timestamp"))
+    ub = u.select(
+        "*",
+        ord_col.alias("_asof_ord"),
+        row_struct.alias("_asof_rrow"),
+        F.lit(0).alias("_asof_boundary"),
+    ).withColumn("_asof_bkt", F.expr(f"_asof_ord div {bucket_us}"))
+    # (1)+(occupancy) in ONE map-side-combined aggregate pass: every
+    # occupied (keys, bucket) — both sides, a bucket holding only left
+    # rows still needs the carry — with the latest right row seen in it
+    # (NULL where the bucket has no rights). Two separate aggregates
+    # (rights-max + count) would scan the union twice: Spark shares no
+    # subtrees.
+    occ = ub.groupBy(*keys, "_asof_bkt").agg(
+        F.max(
+            F.when(
+                F.col(_IS_RIGHT) == 1,
+                F.struct(F.col("_asof_ord"), F.col("_asof_rrow")),
+            )
+        ).alias("_last")
+    )
+    wcarry = (
+        Window.partitionBy(*keys)
+        .orderBy("_asof_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = (
+        occ.select(
+            *keys,
+            "_asof_bkt",
+            F.last("_last", ignorenulls=True).over(wcarry).alias("_carry"),
+        )
+        .where(F.col("_carry").isNotNull())
+    )
+    boundary = carried.select(
+        *keys,
+        "_asof_bkt",
+        F.lit(None).cast("bigint").alias("_asof_ord"),
+        F.col("_carry._asof_rrow").alias("_asof_rrow"),
+        F.lit(1).alias("_asof_boundary"),
+        F.lit(1).alias(_IS_RIGHT),
+    )
+    # boundary rows carry NULL for every other u column
+    ub2 = ub.unionByName(boundary, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*keys, "_asof_bkt")
+        .orderBy(
+            F.col("_asof_boundary").desc(),
+            F.col("_asof_ord").asc(),
+            F.col(_IS_RIGHT).desc(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ub2.select(
+        "*",
+        F.last("_asof_rrow", ignorenulls=True).over(w).alias("_asof_row"),
+    ).drop("_asof_rrow")

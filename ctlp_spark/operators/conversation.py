@@ -76,6 +76,7 @@ def latency_percentiles(
     group_col: str = "role",
     value_col: str = "delta_us",
     bucket_span: int = 1_000_000,
+    materialize: bool = False,
 ) -> DataFrame:
     """EXACT per-group order statistics (p50/p90/p99 of turn latency) via
     rank selection: the value at row ceil(q·n) of each group's sorted
@@ -109,6 +110,14 @@ def latency_percentiles(
     bigint division (double division is exact only while q·n < 2^53, and
     floor of an inexact double can be off by one). The DuckDB twin (the
     naive row_number spelling — fine at oracle SF) uses `//` likewise.
+
+    Three consumers read the cumulated histogram (the offset carry, the
+    rank targets, the final probe). With exchange reuse on (Spark's
+    default, AQE included) the repeated subtrees dedup into one physical
+    shuffle, so the default stays fully LAZY — measured same-JVM at
+    sf0.1, lazy and materialized are within noise of each other.
+    ``materialize=True`` localCheckpoints the histogram instead, for
+    engines/sessions running with exchange reuse disabled.
     """
     d = deltas.where(F.col(value_col) >= 0)
     hist = (
@@ -122,7 +131,9 @@ def latency_percentiles(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = hist.withColumn("_local_cum", F.sum("_c").over(wloc))
-    totals = hist.groupBy(group_col, "_bucket").agg(
+    if materialize:
+        local = local.localCheckpoint()
+    totals = local.groupBy(group_col, "_bucket").agg(
         F.sum("_c").alias("_total")
     )
     woff = (

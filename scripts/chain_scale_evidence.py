@@ -1,0 +1,61 @@
+"""Hot-bucket LSH evidence: candidate counts and wall time, all_pairs vs
+chain, as an implanted exact-dup cluster grows (VERDICT r4 item 3).
+
+A cluster of m identical docs shares every band key, so all m members
+land in the same band buckets: all_pairs emits ~m(m-1)/2 candidate rows
+per band before distinct, chain emits m-1 total. The corpus adds 20k
+distinct background docs so the blocking join still has a realistic
+uniform-key bulk. Run AFTER tests/bench are idle (per-JVM throughput on
+this host swings ±40% under load).
+
+Usage: python scripts/chain_scale_evidence.py
+Prints one JSON line per (m, mode).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from ctlp_spark.functions.dedup import lsh_candidate_pairs  # noqa: E402
+from ctlp_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    spark = get_spark(app_name="chain-evidence", cpus=32,
+                      shuffle_partitions=32)
+    noise = spark.range(20_000).selectExpr(
+        "id + 1000000 AS doc_id",
+        "concat('background doc ', id, ' with distinct tokens ', "
+        "id * 7919, ' ', id * 104729, ' ', id * 1299709, ' filler words "
+        "unique to this document only') AS text",
+    )
+    for m in (1_000, 4_000, 16_000):
+        hot = spark.range(m).selectExpr(
+            "id AS doc_id",
+            "'the same boilerplate footer text repeated across every page "
+            "of the site with enough tokens to shingle' AS text",
+        )
+        docs = hot.unionByName(noise).localCheckpoint()
+        for mode in ("chain", "all_pairs"):
+            if mode == "all_pairs" and m > 4_000:
+                # ~1.28e8 pre-distinct rows per band at m=16k: the point
+                # of the knob is not to run this
+                print(json.dumps({"m": m, "mode": mode,
+                                  "skipped": "quadratic"}))
+                continue
+            t0 = time.perf_counter()
+            n = lsh_candidate_pairs(docs, bucket_mode=mode).count()
+            dt = round(time.perf_counter() - t0, 2)
+            print(json.dumps({"m": m, "mode": mode, "candidates": n,
+                              "sec": dt}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -99,3 +99,99 @@ def test_asof_join_rejects_column_collision(spark):
     df = spark.createDataFrame([("a", _ts(0), 1)], "k string, ts timestamp_ntz, v int")
     with pytest.raises(ValueError, match="value_cols"):
         asof_join(df, df, keys=["k"], value_cols=["v"])
+
+
+def test_asof_bucketed_same_semantics(spark):
+    """time_bucket_us splits these fixtures into multiple buckets (1-min
+    buckets, rows minutes apart) — output must equal the direct path,
+    including the no-match NULL and the >= tie."""
+    left = spark.createDataFrame(
+        [("a", _ts(0), 1), ("a", _ts(5), 2), ("a", _ts(9), 3),
+         ("b", _ts(5), 4)],
+        "k string, ts timestamp_ntz, row_id int",
+    )
+    right = spark.createDataFrame(
+        [("a", _ts(1), 10), ("a", _ts(5), 20), ("b", _ts(6), 30)],
+        "k string, ts timestamp_ntz, v int",
+    )
+    out = {
+        r.row_id: r.v
+        for r in asof_join(
+            left, right, keys=["k"], value_cols=["v"],
+            time_bucket_us=60_000_000,
+        ).collect()
+    }
+    assert out == {1: None, 2: 20, 3: 20, 4: None}
+
+
+def test_asof_bucketed_equals_direct_fuzz(spark):
+    """The bucketed scale path must be bit-identical to the direct
+    one-window spelling on random corpora: few hot keys (the case the
+    bucketing exists for), NULL values, equal-ts ties, buckets far
+    smaller than the ts span (so the boundary carry crosses many empty
+    and occupied buckets)."""
+    import random
+
+    rng = random.Random(20260817)
+    for trial in range(5):
+        lrows = [
+            (rng.choice("xy"), _ts(rng.randrange(60)), i)
+            for i in range(120)
+        ]
+        rrows = [
+            (
+                rng.choice("xy"),
+                _ts(rng.randrange(60)),
+                None if rng.random() < 0.3 else rng.randrange(1000),
+                rng.randrange(1000),
+            )
+            for _ in range(25)
+        ]
+        # contract: unique (key, ts) on the right
+        seen = set()
+        rrows = [
+            r for r in rrows
+            if (r[0], r[1]) not in seen and not seen.add((r[0], r[1]))
+        ]
+        left = spark.createDataFrame(
+            lrows, "k string, ts timestamp_ntz, row_id int"
+        )
+        right = spark.createDataFrame(
+            rrows, "k string, ts timestamp_ntz, v1 int, v2 int"
+        )
+        direct = sorted(
+            (r.row_id, r.v1, r.v2)
+            for r in asof_join(
+                left, right, keys=["k"], value_cols=["v1", "v2"]
+            ).collect()
+        )
+        for w_us in (60_000_000, 7 * 60_000_000, 3_600_000_000):
+            bucketed = sorted(
+                (r.row_id, r.v1, r.v2)
+                for r in asof_join(
+                    left, right, keys=["k"], value_cols=["v1", "v2"],
+                    time_bucket_us=w_us,
+                ).collect()
+            )
+            assert bucketed == direct, (trial, w_us)
+
+
+def test_asof_bucketed_plan_windows_on_bucket(spark):
+    """The bucketed path's big window must partition by (keys, bucket) —
+    the skew bound is rows-per-key-per-span, never rows-per-key — and
+    still plan no join of the row tables (the carry join touches only the
+    per-bucket relation)."""
+    left = spark.createDataFrame(
+        [("a", _ts(0), 1)], "k string, ts timestamp_ntz, row_id int"
+    )
+    right = spark.createDataFrame(
+        [("a", _ts(1), 5)], "k string, ts timestamp_ntz, v int"
+    )
+    plan = (
+        asof_join(left, right, keys=["k"], value_cols=["v"],
+                  time_bucket_us=60_000_000)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "_asof_bkt" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

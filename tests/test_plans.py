@@ -257,7 +257,8 @@ def test_latency_percentiles_no_raw_row_sort(spark, transcripts):
         turn_deltas,
     )
 
-    plan = _plan(latency_percentiles(turn_deltas(transcripts)))
+    plan = _plan(latency_percentiles(turn_deltas(transcripts),
+                                     materialize=False))
     assert "row_number" not in plan, plan
     # the raw-row reduction must be a map-side-combined count aggregate
     assert "partial_count" in plan or "HashAggregate" in plan, plan
