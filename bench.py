@@ -251,7 +251,7 @@ def _child_queries() -> None:
     from ctlp_spark.functions import dedup as dedup_fns
     from ctlp_spark.session import get_spark
 
-    reps = int(os.environ.get("CTLP_BENCH_QUERY_REPS", "3"))
+    reps = max(1, int(os.environ.get("CTLP_BENCH_QUERY_REPS", "3")))
     sink = os.path.join(_shm_dir(), "qsink")
     spark = get_spark(app_name="bench-queries", cpus=CPUS,
                       shuffle_partitions=max(CPUS, 8))
@@ -280,7 +280,10 @@ def _child_queries() -> None:
                 {_qkey(n): s[rep] for n, s in samples.items()}
             ) + "\n"
         )
-    out = {_qkey(n): statistics.median(s) for n, s in samples.items()}
+    # round: an even rep count averages two floats and the full repr
+    # would cost ~10 chars/query against the 2000-char driver window
+    out = {_qkey(n): round(statistics.median(s), 3)
+           for n, s in samples.items()}
     shutil.rmtree(sink, ignore_errors=True)
     print(json.dumps(out))
     spark.stop()

@@ -173,20 +173,18 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     tests/test_plans.py. The join key is NULL-SAFE so NULL-text docs (fp
     NULL) group together, matching the window/DuckDB PARTITION BY
     semantics the oracle pins."""
+    from ctlp_spark.functions.joins import null_safe_join
+
     f = docs.select(F.col(id_col), fingerprint_md5(F.col(text_col)).alias("fp"))
     agg = f.groupBy("fp").agg(
         F.min(id_col).alias("keep_id"), F.count("*").alias("group_size")
     )
-    return (
-        f.join(agg.withColumnRenamed("fp", "_fp"),
-               F.col("fp").eqNullSafe(F.col("_fp")))
-        .select(
-            id_col,
-            "fp",
-            "keep_id",
-            "group_size",
-            (F.col(id_col) == F.col("keep_id")).alias("is_canonical"),
-        )
+    return null_safe_join(f, agg, on=["fp"]).select(
+        id_col,
+        "fp",
+        "keep_id",
+        "group_size",
+        (F.col(id_col) == F.col("keep_id")).alias("is_canonical"),
     )
 
 
@@ -698,16 +696,14 @@ def neardup_groups(
     # ("group_id") here would sort the whole mega-group on one task.
     # Plan-gated in tests/test_plans.py. eqNullSafe: a NULL doc_id node
     # carries a NULL label; PARTITION BY groups NULLs together, so must we.
+    from ctlp_spark.functions.joins import null_safe_join
+
     sizes = grp.groupBy("group_id").agg(F.count("*").alias("group_size"))
-    return (
-        grp.join(sizes.withColumnRenamed("group_id", "_gid"),
-                 F.col("group_id").eqNullSafe(F.col("_gid")))
-        .select(
-            id_col,
-            "group_id",
-            "group_size",
-            (F.col(id_col) == F.col("group_id")).alias("is_canonical"),
-        )
+    return null_safe_join(grp, sizes, on=["group_id"]).select(
+        id_col,
+        "group_id",
+        "group_size",
+        (F.col(id_col) == F.col("group_id")).alias("is_canonical"),
     )
 
 

@@ -1,0 +1,43 @@
+"""Null-safe equi-join helper for the groupBy-then-join-back pattern.
+
+The repo's skew invariant (CLAUDE.md) computes per-group
+min/count/extremum via a map-side-combined ``groupBy`` and hash-joins
+the result back to the rows. The join keys are GROUP VALUES (content
+fingerprints, group labels, role names) and can be NULL; a plain
+equi-join silently drops every NULL-key row, while the window/DuckDB
+PARTITION BY semantics being replaced group NULLs together. Every
+join-back must therefore be null-safe — this helper makes that the
+default instead of a per-site eqNullSafe/rename dance (the c7 rewrite
+initially got it wrong by hand; see tests/test_conversation.py's NULL
+pin).
+
+``EqualNullSafe`` keys still plan as hash equi-joins (never a
+nested-loop), so the scale shape is unchanged.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def null_safe_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Join on ``on`` columns with NULL == NULL (eqNullSafe), dropping
+    the right side's copies of the join columns — the null-safe twin of
+    ``left.join(right, on=on, how=how)``."""
+    r = right
+    for c in on:
+        r = r.withColumnRenamed(c, f"__nsj_{c}")
+    cond = None
+    for c in on:
+        piece = F.col(c).eqNullSafe(F.col(f"__nsj_{c}"))
+        cond = piece if cond is None else (cond & piece)
+    out = left.join(r, cond, how)
+    return out.drop(*[f"__nsj_{c}" for c in on])

@@ -77,6 +77,11 @@ def asof_join(
     overlap = set(value_cols) & set(left.columns)
     if overlap:
         raise ValueError(f"value_cols already exist on the left side: {overlap}")
+    if time_bucket_us is not None and time_bucket_us <= 0:
+        # div 0 yields NULL buckets — every row of a key would silently
+        # collapse into one NULL-bucket partition, i.e. exactly the
+        # single-task sort this parameter exists to avoid
+        raise ValueError(f"time_bucket_us must be positive: {time_bucket_us}")
     l_side = left.withColumn(_TS, F.col(left_ts)).withColumn(
         _IS_RIGHT, F.lit(0)
     )
@@ -127,8 +132,25 @@ def _asof_bucketed(u, keys, row_struct, bucket_us: int):
        key (window over the tiny relation only);
     3. per-(keys, bucket) window with the carried row injected as a
        boundary row sorting before everything in its bucket.
+
+    The numeric ordering key comes from the ts column's TYPE: timestamp/
+    string → unix_micros of the timestamp cast; integral → the raw value
+    (already a valid ordering key; casting a bigint epoch-micros column
+    to timestamp would reinterpret it as SECONDS and saturate — a silent
+    corruption the direct path, which orders on raw _TS, never had).
+    Fractional ts types are rejected (div-bucketing an inexact double
+    ordering key is not oracle-exact) — use the direct path for those.
     """
-    ord_col = F.unix_micros(F.col(_TS).cast("timestamp"))
+    ts_type = dict(u.dtypes)[_TS]
+    if ts_type in ("bigint", "int", "smallint", "tinyint"):
+        ord_col = F.col(_TS).cast("bigint")
+    elif ts_type in ("double", "float") or ts_type.startswith("decimal"):
+        raise ValueError(
+            f"time_bucket_us requires a timestamp or integral ts column, "
+            f"got {ts_type}; use time_bucket_us=None"
+        )
+    else:
+        ord_col = F.unix_micros(F.col(_TS).cast("timestamp"))
     ub = u.select(
         "*",
         ord_col.alias("_asof_ord"),

@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ctlp_spark.functions.joins import null_safe_join
+
 
 def conversation_stats(
     df: DataFrame, salt_buckets: int = 16, salt_source: str = "turn_idx"
@@ -147,9 +149,13 @@ def latency_percentiles(
         (F.sum("_total").over(woff) - F.col("_total")).alias("_offset"),
         F.sum("_total").over(Window.partitionBy(group_col)).alias("_n"),
     )
+    # joins keyed on the GROUP VALUE are null-safe (null_safe_join): the
+    # window/DuckDB PARTITION BY semantics being replaced emit a result
+    # row for a NULL group, so a plain equi-join would silently drop it.
     # _n rides only the targets side of the final join (offs carries it
     # too — selecting it from both lineages would be ambiguous)
-    cum = local.join(
+    cum = null_safe_join(
+        local,
         F.broadcast(offs.select(group_col, "_bucket", "_offset")),
         on=[group_col, "_bucket"],
     ).withColumn("_cum", F.col("_offset") + F.col("_local_cum"))
@@ -166,10 +172,7 @@ def latency_percentiles(
         .withColumn("_target", F.expr("(q_ppm * _n + 999999) div 1000000"))
     )
     return (
-        cum.join(
-            F.broadcast(targets.withColumnRenamed(group_col, "_g")),
-            F.col(group_col) == F.col("_g"),
-        )
+        null_safe_join(cum, F.broadcast(targets), on=[group_col])
         .where(
             (F.col("_cum") >= F.col("_target"))
             & (F.col("_cum") - F.col("_c") < F.col("_target"))

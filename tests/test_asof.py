@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+from pyspark.sql import functions as F
+
 from ctlp_spark.operators.asof import asof_join
 
 
@@ -195,3 +197,43 @@ def test_asof_bucketed_plan_windows_on_bucket(spark):
     assert "_asof_bkt" in plan, plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_bucketed_integral_ts_ordering(spark):
+    """A bigint epoch-micros ts column must bucket on the RAW value —
+    casting it to timestamp would reinterpret micros as seconds and
+    saturate, collapsing every row into one bucket with arbitrary
+    in-bucket ties. Fuzz-free pin: same fixtures as the timestamp test,
+    expressed as micros, same expected matches, multiple buckets."""
+    us = lambda minute: 1_700_000_000_000_000 + minute * 60_000_000
+    left = spark.createDataFrame(
+        [("a", us(0), 1), ("a", us(5), 2), ("a", us(9), 3), ("b", us(5), 4)],
+        "k string, ts bigint, row_id int",
+    )
+    right = spark.createDataFrame(
+        [("a", us(1), 10), ("a", us(5), 20), ("b", us(6), 30)],
+        "k string, ts bigint, v int",
+    )
+    out = {
+        r.row_id: r.v
+        for r in asof_join(
+            left, right, keys=["k"], value_cols=["v"],
+            time_bucket_us=60_000_000,
+        ).collect()
+    }
+    assert out == {1: None, 2: 20, 3: 20, 4: None}
+
+
+def test_asof_bucketed_rejects_bad_inputs(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [("a", 1.5, 1)], "k string, ts double, v int"
+    )
+    with pytest.raises(ValueError, match="time_bucket_us"):
+        asof_join(df, df.select("k", "ts", F.col("v").alias("w")),
+                  keys=["k"], value_cols=["w"], time_bucket_us=0)
+    with pytest.raises(ValueError, match="integral"):
+        asof_join(df, df.select("k", "ts", F.col("v").alias("w")),
+                  keys=["k"], value_cols=["w"],
+                  time_bucket_us=60).count()

@@ -124,3 +124,24 @@ def test_sessionize_accepts_minimal_schema(spark):
     )
     rows = sorted((r.turn_idx, r.session_idx) for r in sessionize(df).collect())
     assert rows == [(0, 0), (1, 1)]
+
+
+def test_latency_percentiles_null_group_kept(spark):
+    """A NULL group value must produce its own percentile rows — the
+    window/DuckDB PARTITION BY semantics the histogram rewrite replaces
+    group NULLs together, so the join-backs must be null-safe (a plain
+    equi-join silently dropped the NULL group)."""
+    from pyspark.sql import functions as F
+
+    from ctlp_spark.operators.conversation import latency_percentiles
+
+    rows = [("a", v) for v in range(1, 101)] + [(None, v) for v in range(1, 51)]
+    d = spark.createDataFrame(rows, "role string, delta_us bigint")
+    out = latency_percentiles(d).collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r.role, {})[r.q_ppm] = (r.value, r.n)
+    assert by_group["a"] == {500000: (50, 100), 900000: (90, 100),
+                             990000: (99, 100)}
+    assert by_group[None] == {500000: (25, 50), 900000: (45, 50),
+                              990000: (50, 50)}

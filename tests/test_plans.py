@@ -224,25 +224,27 @@ def test_exact_dedup_skew_safe_no_window(spark):
     assert "partial_min" in plan or "partial_count" in plan, plan
 
 
-def test_neardup_group_sizes_skew_safe_no_window(spark):
+def test_neardup_group_sizes_skew_safe_no_window(spark, monkeypatch):
     """d8's group_size must come from a groupBy count + hash join back —
     a Window.partitionBy(group_id) puts a mega near-dup group on one task
-    (VERDICT r4 #2). Gated on the post-CC projection shape (a synthetic
-    (doc_id, group_id) frame stands in for the converged CC labels so the
-    gate doesn't execute the LSH pipeline)."""
+    (VERDICT r4 #2). Gates the REAL neardup_groups plan: the upstream
+    LSH/CC stages are monkeypatched to stub frames so the decision
+    projection's physical shape is planned without executing the
+    pipeline — a revert to the window shape fails this test."""
     from ctlp_spark.functions import dedup as D
 
-    grp = spark.createDataFrame(
-        [(1, 1), (2, 1), (3, 3)], "doc_id bigint, group_id bigint"
+    stub_cc = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3)], "node bigint, label bigint"
     )
-    sizes = grp.groupBy("group_id").agg(F.count("*").alias("group_size"))
-    final = (
-        grp.join(sizes.withColumnRenamed("group_id", "_gid"),
-                 F.col("group_id").eqNullSafe(F.col("_gid")))
-        .select("doc_id", "group_id", "group_size",
-                (F.col("doc_id") == F.col("group_id")).alias("is_canonical"))
+    monkeypatch.setattr(D, "neardup_pipeline",
+                        lambda *a, **k: spark.createDataFrame(
+                            [], "doc_a bigint, doc_b bigint"))
+    monkeypatch.setattr(D, "connected_components",
+                        lambda *a, **k: stub_cc)
+    docs = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y")], "doc_id bigint, text string"
     )
-    plan = _plan(final)
+    plan = _plan(D.neardup_groups(docs))
     assert "Window" not in plan, plan
     assert "partial_count" in plan or "HashAggregate" in plan, plan
 
