@@ -2,8 +2,8 @@
 bit-identical results in Spark and DuckDB on corpora beyond the driver's
 fixtures (seeded random docs: edge whitespace, empty strings, repeated
 tokens, punctuation runs, long tokens). This is the property the whole
-oracle strategy rests on (CLAUDE.md invariants; memory:
-driver-oracle-gotchas)."""
+oracle strategy rests on (CLAUDE.md invariants: integer outputs,
+no engine-order-dependent float sums)."""
 
 from __future__ import annotations
 
@@ -228,3 +228,48 @@ def test_kmeans_ivf_matches_duckdb_on_random_vectors(spark, seed):
     con.register("embeddings", pdf)
     want = sorted(map(tuple, con.sql(A.sql_kmeans_ivf()).fetchall()))
     assert got == want, f"kmeans diverged on seed {seed}"
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_exact_dedup_and_percentiles_match_duckdb(spark, seed):
+    """Round-5 rewrites fuzzed beyond the driver fixtures: exact_dedup
+    (groupBy + null-safe join back) on corpora with NULL texts and
+    implanted dups, and latency_percentiles (distinct-value histogram)
+    on skewed tied values with a NULL group — both must equal the
+    window spellings DuckDB evaluates natively."""
+    rng = random.Random(seed)
+
+    pdf = _random_docs(seed)
+    pdf.loc[3, "text"] = None
+    pdf.loc[7, "text"] = None
+    sdf = spark.createDataFrame(pdf)
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    a = {tuple(r) for r in D.exact_dedup(sdf).collect()}
+    b = set(map(tuple, con.sql(D.sql_exact_dedup()).fetchall()))
+    assert a == b
+
+    from ctlp_spark.operators.conversation import latency_percentiles
+
+    rows = [
+        (rng.choice(["a", "b", None]),
+         rng.choice([0, 1, 5, 5, 5, 7, 100, 10**9]))
+        for _ in range(400)
+    ]
+    pdf2 = pd.DataFrame(rows, columns=["role", "delta_us"])
+    sdf2 = spark.createDataFrame(pdf2.astype({"delta_us": "int64"}))
+    con.register("d", pdf2)
+    got = {tuple(r) for r in latency_percentiles(sdf2).collect()}
+    want = set(map(tuple, con.sql("""
+WITH ranked AS (
+  SELECT role, CAST(delta_us AS BIGINT) AS delta_us,
+         row_number() OVER (PARTITION BY role ORDER BY delta_us) AS rn,
+         count(*) OVER (PARTITION BY role) AS n
+  FROM d WHERE delta_us >= 0
+),
+qs AS (SELECT unnest([500000, 900000, 990000]) AS q_ppm)
+SELECT role, CAST(q_ppm AS BIGINT) AS q_ppm, delta_us AS value,
+       CAST(n AS BIGINT) AS n
+FROM ranked, qs
+WHERE rn = (q_ppm * n + 999999) // 1000000""").fetchall()))
+    assert got == want
