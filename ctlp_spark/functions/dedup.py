@@ -1137,6 +1137,7 @@ def leakage_safe_split(
     threshold_ppm: int = 300_000,
     id_col: str = "doc_id",
     text_col: str = "text",
+    bucket_mode: str = "all_pairs",
 ) -> DataFrame:
     """Leakage-safe train/validation split: the unit of assignment is the
     NEAR-DUP GROUP (``neardup_groups`` / d8), not the document, so two
@@ -1155,7 +1156,9 @@ def leakage_safe_split(
     → log-round connected components); the split itself adds one pure-map
     projection — no new shuffle.
     """
-    groups = neardup_groups(docs, n, threshold_ppm, id_col, text_col)
+    groups = neardup_groups(
+        docs, n, threshold_ppm, id_col, text_col, bucket_mode=bucket_mode
+    )
     bucket = (
         F.conv(
             F.substring(F.md5(F.col("group_id").cast("string")), 1, 15),
