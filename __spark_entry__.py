@@ -491,14 +491,35 @@ def q_h1_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
       COUNT(DISTINCT)'s expand shuffle at 10^12 rows.
     * Count-Min frequency sketch of user_id: fixed 4×1024 integer
       counters, one shuffle with map-side partial sum, merge = add.
+    * value-histogram sketch of the event value (milli-units, 1000-wide
+      buckets) per event_type: the mergeable QUANTILE state (round 5;
+      functions/sketch.value_hist_sketch — merge = add, quantiles exact
+      to the bucket, streaming twin in stream.windowed_value_buckets).
 
     Output rows are tagged (sketch, key, a, b): hll → (event_type,
-    nonzero_registers, s_scaled); cms → (depth, bucket, cnt). The oracle
-    twin recomputes the full register/counter state (same md5 hex string
-    math) — both sketches verified bit-for-bit, not approximately."""
+    nonzero_registers, s_scaled); cms → (depth, bucket, cnt); hist →
+    (event_type, bucket, n). The oracle twin recomputes the full
+    register/counter/bucket state (same integer math) — all three
+    sketches verified bit-for-bit, not approximately. The double→milli
+    integer conversion is PER-ROW scalar IEEE arithmetic (identical in
+    both engines); only order-dependent float SUMS are banned."""
     from ctlp_spark.functions import sketch as SK
 
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hist = SK.value_hist_sketch(
+        events.select(
+            "event_type",
+            F.expr("CAST(floor(value * 1000) AS BIGINT)").alias("vmilli"),
+        ),
+        group_col="event_type",
+        value_col="vmilli",
+        bucket_span=1000,
+    ).select(
+        F.lit("hist").alias("sketch"),
+        F.col("event_type").alias("key"),
+        F.col("bucket").alias("a"),
+        F.col("n").alias("b"),
+    )
     hll = SK.hll_sketch(events, ["event_type"], "user_id").select(
         F.lit("hll").alias("sketch"),
         F.col("event_type").alias("key"),
@@ -511,7 +532,7 @@ def q_h1_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").cast("bigint").alias("a"),
         F.col("cnt").alias("b"),
     )
-    return hll.unionByName(cms)
+    return hll.unionByName(cms).unionByName(hist)
 
 
 def _h1_sql() -> str:
@@ -519,6 +540,13 @@ def _h1_sql() -> str:
 
     hll = SK.sql_hll_sketch("events", ["event_type"], "user_id")
     cms = SK.sql_cms_counters("events", "user_id")
+    hist = SK.sql_value_hist_sketch(
+        "(SELECT event_type, CAST(floor(value * 1000) AS BIGINT) AS vmilli"
+        " FROM events) _v",
+        group_col="event_type",
+        value_col="vmilli",
+        bucket_span=1000,
+    )
     return (
         "SELECT 'hll' AS sketch, event_type AS key,\n"
         "       nonzero_registers AS a, s_scaled AS b\n"
@@ -526,7 +554,11 @@ def _h1_sql() -> str:
         "UNION ALL\n"
         "SELECT 'cms' AS sketch, CAST(depth AS VARCHAR) AS key,\n"
         "       CAST(bucket AS BIGINT) AS a, cnt AS b\n"
-        f"FROM ({cms})"
+        f"FROM ({cms})\n"
+        "UNION ALL\n"
+        "SELECT 'hist' AS sketch, event_type AS key,\n"
+        "       bucket AS a, n AS b\n"
+        f"FROM ({hist})"
     )
 
 

@@ -267,3 +267,96 @@ def hll_estimate(m: int, nonzero_registers: int, s_scaled: int) -> float:
     if est <= 2.5 * m and zeros > 0:
         return m * math.log(m / zeros)
     return est
+
+
+# ---------------------------------------------------------------------------
+# mergeable value-histogram sketch (bucketed quantiles)
+# ---------------------------------------------------------------------------
+
+DEFAULT_HIST_SPAN = 1_000_000
+
+
+def value_hist_sketch(
+    df: DataFrame,
+    group_col: str = "role",
+    value_col: str = "delta_us",
+    bucket_span: int = DEFAULT_HIST_SPAN,
+) -> DataFrame:
+    """Mergeable bucketed-value histogram — the sketch twin of the exact
+    percentile operator (operators/conversation.latency_percentiles):
+    one row per (group, ``value div bucket_span``) with its count.
+
+    Like the HLL/CMS sketches the state is pure integers, MERGEABLE by
+    addition (``merge_hist_sketches``; partition/shard/window sketches
+    sum into the corpus sketch — the property a 1000-executor rollup or
+    a streaming windowed aggregation needs), and deterministic — no
+    randomness, no floats. Quantile queries (``hist_quantile``) are
+    exact TO THE BUCKET: the reported value is the true rank-q value
+    rounded down to its bucket's lower bound (error < bucket_span,
+    pinned against the exact operator in tests/test_sketch.py).
+
+    Scale shape: one map-side-combined groupBy — a hot value collapses
+    per map task; the sketch size is bounded by occupied buckets
+    (min(distinct values, value range / span)), independent of row
+    count. Negative values (the turn_deltas first-turn sentinel) are
+    excluded, matching the exact operator."""
+    return (
+        df.where(F.col(value_col) >= 0)
+        .groupBy(
+            group_col,
+            F.expr(f"{value_col} div {bucket_span}").alias("bucket"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def sql_value_hist_sketch(
+    t: str,
+    group_col: str = "role",
+    value_col: str = "delta_us",
+    bucket_span: int = DEFAULT_HIST_SPAN,
+) -> str:
+    return f"""
+SELECT {group_col}, CAST({value_col} // {bucket_span} AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM {t} WHERE {value_col} >= 0
+GROUP BY 1, 2"""
+
+
+def merge_hist_sketches(*sketches: DataFrame) -> DataFrame:
+    """Union partial histogram sketches and re-sum — the mergeability
+    contract (sketch(A ∪ B) == merge(sketch(A), sketch(B)), pinned in
+    tests/test_sketch.py)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    group_cols = [c for c in out.columns if c not in ("n",)]
+    return out.groupBy(*group_cols).agg(F.sum("n").alias("n"))
+
+
+def hist_quantile(
+    rows,
+    q_ppm: int,
+    bucket_span: int = DEFAULT_HIST_SPAN,
+) -> dict:
+    """Driver-side quantile query over ONE group's collected sketch rows
+    (any iterable of objects/tuples with ``bucket`` and ``n``): returns
+    {"lo": bucket lower bound, "hi": exclusive upper bound, "n": total}
+    for the bucket containing the rank ceil(q·n/1e6) value. The true
+    exact quantile q satisfies lo <= q < hi."""
+    pairs = sorted(
+        (int(r[0]) if not hasattr(r, "bucket") else int(r.bucket),
+         int(r[1]) if not hasattr(r, "n") else int(r.n))
+        for r in rows
+    )
+    total = sum(n for _, n in pairs)
+    if total == 0:
+        raise ValueError("empty sketch")
+    target = (q_ppm * total + 999_999) // 1_000_000
+    cum = 0
+    for bucket, n in pairs:
+        cum += n
+        if cum >= target:
+            return {"lo": bucket * bucket_span,
+                    "hi": (bucket + 1) * bucket_span, "n": total}
+    raise AssertionError("unreachable: target <= total by construction")

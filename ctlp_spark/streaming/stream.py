@@ -136,6 +136,43 @@ def windowed_rule_counts(
     )
 
 
+def windowed_value_buckets(
+    stream_df: DataFrame,
+    value_col: str,
+    group_col: str = "role",
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+    bucket_span: int = 1_000_000,
+) -> DataFrame:
+    """Event-time windowed value-histogram sketch — streaming quantile
+    MONITORING with bounded state (the streaming twin of the exact batch
+    percentiles, via functions/sketch.value_hist_sketch's bucket
+    contract): one row per (window, group, value div bucket_span) with
+    its count. Downstream, ``sketch.hist_quantile`` answers p50/p90/p99
+    per window to bucket_span resolution, and window sketches MERGE by
+    addition into coarser rollups (``sketch.merge_hist_sketches``).
+
+    State is bounded by (active windows × groups × occupied buckets) —
+    the watermark evicts closed windows, and occupied buckets are
+    bounded by value-range/span, independent of row count. Rows with
+    NULL or negative values (the turn_deltas sentinel) are excluded,
+    matching the batch operator. This is the shape a latency/quality
+    SLO monitor runs at 100 TB/day: no per-row state, no sort, pure
+    windowed partial aggregation."""
+    return (
+        stream_df.withColumn("ts", F.col("ts").cast("timestamp"))
+        .where(F.col(value_col) >= 0)
+        .withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window).alias("w"),
+            F.col(group_col),
+            F.expr(f"{value_col} div {bucket_span}").alias("bucket"),
+        )
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("w_start"), group_col, "bucket", "n")
+    )
+
+
 CONV_STATE_SCHEMA = "n_turns bigint, n_tool bigint, first_ts_us bigint, last_ts_us bigint"
 CONV_OUT_SCHEMA = (
     "conv_id string, n_turns bigint, n_tool bigint, "

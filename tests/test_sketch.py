@@ -209,3 +209,120 @@ def test_cms_plan_is_single_exchange_with_partial_agg(spark):
     )
     assert plan.count("Exchange") == 1, plan
     assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_value_hist_sketch_merge_and_quantiles(spark):
+    """Value-histogram sketch: merge(sketch(A), sketch(B)) ==
+    sketch(A ∪ B); every quantile bucket equals the EXACT operator's
+    rank value rounded down to its bucket (the sketch's whole
+    contract); DuckDB twin verifies the full state."""
+    import random
+
+    from ctlp_spark.operators.conversation import latency_percentiles
+
+    rng = random.Random(7)
+    rows = [
+        (rng.choice(["a", "b"]), rng.randrange(0, 10_000_000))
+        for _ in range(4_000
+    )]
+    span = 1_000_000
+    df = spark.createDataFrame(rows, "role string, delta_us bigint")
+    half_a = df.where(F.col("delta_us") % 2 == 0)
+    half_b = df.where(F.col("delta_us") % 2 == 1)
+    whole = {
+        (r.role, r.bucket, r.n)
+        for r in SK.value_hist_sketch(df, bucket_span=span).collect()
+    }
+    merged = {
+        (r.role, r.bucket, r.n)
+        for r in SK.merge_hist_sketches(
+            SK.value_hist_sketch(half_a, bucket_span=span),
+            SK.value_hist_sketch(half_b, bucket_span=span),
+        ).collect()
+    }
+    assert whole == merged
+
+    exact = {
+        (r.role, r.q_ppm): r.value
+        for r in latency_percentiles(df).collect()
+    }
+    sk_rows = SK.value_hist_sketch(df, bucket_span=span).collect()
+    for (role, q_ppm), value in exact.items():
+        grp = [(r.bucket, r.n) for r in sk_rows if r.role == role]
+        est = SK.hist_quantile(grp, q_ppm, bucket_span=span)
+        assert est["lo"] <= value < est["hi"], (role, q_ppm, value, est)
+        assert est["lo"] == (value // span) * span
+
+    import duckdb
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.register("d", pd.DataFrame(rows, columns=["role", "delta_us"]))
+    duck = set(map(tuple, con.sql(
+        SK.sql_value_hist_sketch("d", bucket_span=span)
+    ).fetchall()))
+    assert whole == duck
+
+
+def test_windowed_value_buckets_drains_to_batch_sketch(spark, tmp_path):
+    """The streaming windowed histogram drained with availableNow must
+    sum (over windows) to the batch sketch of the same data — the
+    mergeability contract crossing the batch/stream boundary."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ctlp_spark.streaming.stream import windowed_value_buckets
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # the last ("zz") row is a watermark-advancing sentinel: append mode
+    # only emits watermark-CLOSED windows, and availableNow's final batch
+    # closes everything strictly older than max(ts) - watermark — the
+    # sentinel pushes that horizon past every real window, so the real
+    # data must drain COMPLETELY (only the sentinel's own window stays
+    # open)
+    pdf = pd.DataFrame({
+        "role": ["a", "a", "b", "a", "b", "a", "zz"],
+        "delta_us": pd.array(
+            [100, 1_500_000, 40, 2_700_000, -1, 999_999, 0], dtype="int64"
+        ),
+        "ts": pd.to_datetime([
+            "2024-01-01 10:00:10", "2024-01-01 10:00:20",
+            "2024-01-01 10:01:10", "2024-01-01 10:02:30",
+            "2024-01-01 10:02:40", "2024-01-01 10:30:00",
+            "2024-01-01 12:00:00",
+        ]).astype("datetime64[us]"),  # parquet micros (Spark reads no ns)
+    })
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                   str(src / "part-0.parquet"))
+    out = str(tmp_path / "out")
+    stream = (
+        spark.readStream
+        .schema("role string, delta_us bigint, ts timestamp_ntz")
+        .parquet(str(src))
+    )
+    q = (
+        windowed_value_buckets(stream, "delta_us")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = spark.read.parquet(out)
+    summed = {
+        (r.role, r.bucket, r.total)
+        for r in emitted.groupBy("role", "bucket")
+        .agg(F.sum("n").alias("total")).collect()
+    }
+    batch = {
+        (r.role, r.bucket, r.n)
+        for r in SK.value_hist_sketch(
+            spark.read.parquet(str(src))
+        ).collect()
+        if r.role != "zz"
+    }
+    assert summed == batch
