@@ -291,3 +291,15 @@ def test_tfidf_broadcasts_vocab_by_default(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     plan = _plan(X.tfidf_top_terms(docs))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_value_hist_sketch_single_exchange(spark):
+    """The histogram sketch is one map-side-combined groupBy — a hot
+    value must collapse per map task before its single exchange."""
+    from ctlp_spark.functions import sketch as SK
+
+    d = spark.createDataFrame([("a", 5)], "role string, delta_us bigint")
+    plan = _plan(SK.value_hist_sketch(d))
+    assert plan.count("Exchange") == 1, plan
+    assert "partial_count" in plan or "HashAggregate" in plan, plan
+    assert "Window" not in plan
