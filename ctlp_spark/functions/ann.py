@@ -479,7 +479,8 @@ WHERE x.vec_id <> p.q"""
 
 
 def embedding_neardup_pairs(
-    emb: DataFrame, threshold_ppm: int = 350_000, kernel: str = "cell"
+    emb: DataFrame, threshold_ppm: int = 350_000, kernel: str = "cell",
+    pair_mode: str = "all_pairs",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked by label (the
     precomputed cluster/IVF cell): at 10^12 scale the blocking IS the
@@ -499,9 +500,60 @@ def embedding_neardup_pairs(
       sf0.1 (pair transfer dominates the 64-dim fold) — kept for the A/B.
     * ``"expr"`` — label self-join + interpreted Catalyst fold; readable
       twin of the DuckDB oracle SQL.
+
+    ``pair_mode`` is the embedding twin of the LSH ``bucket_mode`` knob
+    (functions/dedup.lsh_candidate_pairs — same recall contract):
+
+    * ``"all_pairs"`` (default) — every in-cell pair; exact, O(m²) rows
+      from an m-member cell. The oracle-identical mode.
+    * ``"chain"`` — each vector pairs only with its cell's MIN vec_id:
+      m−1 rows per cell, linear in a boilerplate embedding cluster.
+      Lossless for the downstream connected-components decision when
+      members are near the cell min (the mega-duplicate case); pinned
+      equal across kernels and O(m) in tests/test_ann_kernels.py.
     """
+    if pair_mode not in ("all_pairs", "chain"):
+        raise ValueError(f"unknown pair_mode: {pair_mode!r}")
     if kernel == "cell":
-        return _neardup_pairs_cell(emb, threshold_ppm)
+        return _neardup_pairs_cell(emb, threshold_ppm, pair_mode)
+    if pair_mode == "chain":
+        # per-cell min vector (one row per label) joined to every member:
+        # map-side-combined min + two hash joins, O(m) pairs per cell
+        mins = emb.groupBy("label").agg(F.min("vec_id").alias("vec_a"))
+        a = mins.join(
+            emb.select(
+                F.col("vec_id").alias("vec_a"),
+                F.col("embedding").alias("ea"),
+                "label",
+                _norm_k(F.col("embedding"), kernel).alias("na"),
+            ),
+            ["label", "vec_a"],
+        )
+        return (
+            a.join(
+                emb.select(
+                    F.col("vec_id").alias("vec_b"),
+                    F.col("embedding").alias("eb"),
+                    "label",
+                    _norm_k(F.col("embedding"), kernel).alias("nb"),
+                ),
+                "label",
+            )
+            .where(F.col("vec_a") < F.col("vec_b"))
+            .select(
+                "vec_a",
+                "vec_b",
+                "label",
+                F.floor(
+                    _dot_k(F.col("ea"), F.col("eb"), kernel)
+                    / (F.col("na") * F.col("nb"))
+                    * 1_000_000
+                )
+                .cast("bigint")
+                .alias("cos_ppm"),
+            )
+            .where(F.col("cos_ppm") >= threshold_ppm)
+        )
     # per-vector norms computed below the join (see brute_force_topk note)
     a = emb.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
@@ -542,13 +594,18 @@ _CELL_SCHEMA = T.StructType([
 _CELL_PAIR_CHUNK = 1 << 21
 
 
-def _neardup_pairs_cell(emb: DataFrame, threshold_ppm: int) -> DataFrame:
-    """Cell-local all-pairs cosine (see embedding_neardup_pairs "cell").
+def _neardup_pairs_cell(
+    emb: DataFrame, threshold_ppm: int, pair_mode: str = "all_pairs"
+) -> DataFrame:
+    """Cell-local cosine pairs (see embedding_neardup_pairs "cell");
+    ``pair_mode="chain"`` dots every member against the cell's min-id
+    vector only (O(m·d) work and O(m) output per cell).
 
     Bit-exactness: norms fold dims in index order per vector; pair dots
     fold dims in index order vectorized across pairs — the same IEEE op
     sequence per pair as the expression/DuckDB twins, so floor(1e6·cos)
     matches exactly (fuzz-pinned in tests/test_ann_kernels.py)."""
+    chain = pair_mode == "chain"
 
     def cell(key, pdf: pd.DataFrame) -> pd.DataFrame:
         m = len(pdf)
@@ -568,6 +625,26 @@ def _neardup_pairs_cell(emb: DataFrame, threshold_ppm: int) -> DataFrame:
         for j in range(V.shape[1]):
             nsq = nsq + V[:, j] * V[:, j]
         norms = np.sqrt(nsq)
+        if chain:
+            # dot every member against the min-id vector (index 0 after
+            # the sort): same index-ordered dim fold, vectorized across
+            # the m-1 partner rows — bit-identical to the pairwise fold
+            cb = np.arange(1, m)
+            acc = np.zeros(m - 1)
+            for j in range(V.shape[1]):
+                acc = acc + V[0, j] * V[cb, j]
+            ppm = np.floor(acc / (norms[0] * norms[cb]) * 1_000_000).astype(
+                np.int64
+            )
+            keep = ppm >= threshold_ppm
+            if not keep.any():
+                return empty
+            return pd.DataFrame({
+                "vec_a": np.full(int(keep.sum()), ids[0], dtype=np.int64),
+                "vec_b": ids[cb[keep]].astype(np.int64),
+                "label": np.full(int(keep.sum()), key[0], dtype=np.int32),
+                "cos_ppm": ppm[keep],
+            })
         # vec_a < vec_b by construction: ids sorted ascending, ia < ib.
         # Pair indices are generated PER CHUNK from the linear pair index
         # (row r of the strict upper triangle starts at starts[r]) — a

@@ -347,3 +347,41 @@ def test_kmeans_topk_nprobe_matches_twin_and_lifts_recall(spark):
         recalls.append(len(hits & brute) / len(brute))
     assert recalls[1] >= recalls[0]
     assert recalls[1] > 0.4  # pinned: 0.52 on this corpus/model
+
+
+def test_embedding_neardup_chain_kernels_equal_and_linear(spark):
+    """pair_mode="chain": the cell kernel and the expr join twin must
+    emit the same min-anchored pairs, and a hot cell of m duplicate
+    embeddings must yield exactly m-1 rows (the O(m²) bound the mode
+    removes) — the embedding twin of the LSH bucket_mode contract."""
+    import numpy as np
+
+    from ctlp_spark.functions import ann as A
+
+    rng = np.random.default_rng(5)
+    rows = []
+    hot = rng.normal(size=8).tolist()
+    m = 500
+    for i in range(m):  # hot cell: identical vectors
+        rows.append((i, hot, 1))
+    for i in range(40):  # background cells with random members
+        rows.append((1000 + i, rng.normal(size=8).tolist(), 2 + i % 3))
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label int"
+    )
+    cell = {
+        (r.vec_a, r.vec_b, r.cos_ppm)
+        for r in A.embedding_neardup_pairs(
+            emb, threshold_ppm=350_000, kernel="cell", pair_mode="chain"
+        ).collect()
+    }
+    expr = {
+        (r.vec_a, r.vec_b, r.cos_ppm)
+        for r in A.embedding_neardup_pairs(
+            emb, threshold_ppm=350_000, kernel="expr", pair_mode="chain"
+        ).collect()
+    }
+    assert cell == expr
+    hot_pairs = [p for p in cell if p[0] == 0]
+    assert len(hot_pairs) == m - 1
+    assert all(ppm == 1_000_000 for _, _, ppm in hot_pairs)
