@@ -524,12 +524,21 @@ SELECT doc, {bits} AS simhash FROM agg"""
 def simhash_near_pairs(
     docs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id",
     text_col: str = "text", kernel: str = "arrow",
+    bucket_mode: str = "all_pairs",
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming, found via banded
     16-bit-chunk equality join (a pair within hamming 3 must agree on at
     least one of 4 chunks — pigeonhole, so the result is exact) then
     bit_count verification. 16-bit chunk keys keep the blocking join
-    selective (65536 values) instead of degenerating toward all-pairs."""
+    selective (65536 values) instead of degenerating toward all-pairs.
+
+    ``bucket_mode="chain"`` is the simhash twin of the LSH knob
+    (``lsh_candidate_pairs`` — recall contract there): each doc pairs
+    only with its chunk bucket's MIN doc id, so a boilerplate cluster
+    (identical simhashes → shared buckets in every chunk) emits O(m)
+    candidates instead of O(m²). For hamming 0 clusters chain is
+    lossless through a downstream connected-components decision; the
+    default stays the exact pigeonhole candidate set."""
     sig = simhash(docs, id_col, text_col, kernel=kernel)
     chunk_bits = SIMHASH_BITS // SIM_BANDS
     mask = (1 << chunk_bits) - 1
@@ -548,18 +557,36 @@ def simhash_near_pairs(
             ])
         ).alias("c"),
     ).select("doc", "simhash", "c.chunk_idx", "c.chunk")
-    cand = (
-        chunks.alias("x")
-        .join(chunks.alias("y"), on=["chunk_idx", "chunk"])
-        .where(F.col("x.doc") < F.col("y.doc"))
-        .select(
-            F.col("x.doc").alias("doc_a"),
-            F.col("y.doc").alias("doc_b"),
-            F.col("x.simhash").alias("sig_a"),
-            F.col("y.simhash").alias("sig_b"),
+    if bucket_mode == "chain":
+        mins = chunks.groupBy("chunk_idx", "chunk").agg(
+            F.min(F.struct("doc", "simhash")).alias("_m")
         )
-        .distinct()
-    )
+        cand = (
+            chunks.join(mins, on=["chunk_idx", "chunk"])
+            .where(F.col("doc") > F.col("_m.doc"))
+            .select(
+                F.col("_m.doc").alias("doc_a"),
+                F.col("doc").alias("doc_b"),
+                F.col("_m.simhash").alias("sig_a"),
+                F.col("simhash").alias("sig_b"),
+            )
+            .distinct()
+        )
+    elif bucket_mode == "all_pairs":
+        cand = (
+            chunks.alias("x")
+            .join(chunks.alias("y"), on=["chunk_idx", "chunk"])
+            .where(F.col("x.doc") < F.col("y.doc"))
+            .select(
+                F.col("x.doc").alias("doc_a"),
+                F.col("y.doc").alias("doc_b"),
+                F.col("x.simhash").alias("sig_a"),
+                F.col("y.simhash").alias("sig_b"),
+            )
+            .distinct()
+        )
+    else:
+        raise ValueError(f"unknown bucket_mode: {bucket_mode!r}")
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return cand.where(ham <= max_hamming).select(
         "doc_a", "doc_b", ham.cast("bigint").alias("hamming")

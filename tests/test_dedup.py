@@ -434,3 +434,32 @@ def test_exact_dedup_null_texts_group_together(spark):
         1: (1, 2, True), 3: (1, 2, False),
         2: (2, 2, True), 4: (2, 2, False),
     }
+
+
+def test_simhash_chain_linear_and_lossless_on_exact_cluster(spark):
+    """simhash bucket_mode="chain": an m-member identical-text cluster
+    (shared chunk buckets in all 4 chunks) emits exactly m-1 hamming-0
+    pairs instead of ~m^2/2, and small mixed corpora keep every
+    all_pairs pair that chains through a bucket min at hamming 0."""
+    m = 2_000
+    hot = spark.range(m).selectExpr(
+        "id AS doc_id",
+        "'the same boilerplate footer text repeated across every page "
+        "of the site with enough tokens to shingle' AS text",
+    )
+    got = D.simhash_near_pairs(hot, bucket_mode="chain").collect()
+    assert len(got) == m - 1
+    assert all(r.doc_a == 0 and r.hamming == 0 for r in got)
+
+    rows = [(i, "alpha beta gamma delta epsilon zeta") for i in range(4)]
+    rows += [(10 + i, f"totally different text {i} tokens{i} here{i}")
+             for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    chain = {(r.doc_a, r.doc_b, r.hamming)
+             for r in D.simhash_near_pairs(docs, bucket_mode="chain").collect()}
+    allp = {(r.doc_a, r.doc_b, r.hamming)
+            for r in D.simhash_near_pairs(docs).collect()}
+    # chain is a subset anchored at bucket minima; the exact cluster's
+    # star (0,1),(0,2),(0,3) must survive
+    assert chain <= allp
+    assert {(0, 1, 0), (0, 2, 0), (0, 3, 0)} <= chain
