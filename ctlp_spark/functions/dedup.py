@@ -694,6 +694,36 @@ def connected_components(
     )
 
 
+def _components_via_driver(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Small-pair-list component labeling: union-find over the collected
+    verified pairs (root = component min, because union always parents the
+    larger root under the smaller), broadcast-joined back onto the node
+    relation — unpaired docs keep their own id as label, NULL ids stay
+    NULL (identical to ``connected_components``, where a NULL node never
+    matches an edge). The node relation itself is never collected."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs.collect():
+        ra, rb = find(r.doc_a), find(r.doc_b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    labels = [(int(x), int(find(x))) for x in parent]
+    spark = nodes.sparkSession
+    lab = spark.createDataFrame(labels or [], "lnode bigint, llabel bigint")
+    return nodes.join(
+        F.broadcast(lab), nodes["doc"] == lab["lnode"], "left"
+    ).select(
+        F.col("doc").alias("node"),
+        F.coalesce("llabel", F.col("doc")).alias("label"),
+    )
+
+
 def neardup_groups(
     docs: DataFrame,
     n: int = 3,
@@ -701,18 +731,33 @@ def neardup_groups(
     id_col: str = "doc_id",
     text_col: str = "text",
     bucket_mode: str = "all_pairs",
+    driver_threshold: int = 20_000,
 ) -> DataFrame:
     """End-to-end dedup decision: LSH→verify near-dup pairs → connected
     components → per-doc (group_id, group_size, is_canonical). Keep rows
     where is_canonical; at 100 TB this is THE final dedup operator.
     ``bucket_mode="chain"`` caps a boilerplate mega-cluster's candidates
     at O(m) per bucket — lossless when members verify against the bucket
-    min (recall contract in ``lsh_candidate_pairs``)."""
+    min (recall contract in ``lsh_candidate_pairs``).
+
+    The component decision has two equivalent engines, size-gated exactly
+    like the streaming twin (``streaming/neardup.py``): at or below
+    ``driver_threshold`` VERIFIED pairs, a driver union-find labels the
+    paired docs and a broadcast left join assigns everyone else to their
+    singleton — no CC rounds, no per-round checkpoint/convergence jobs.
+    Above it, the distributed ``connected_components`` runs (no driver
+    collect of the pair set). Only the PAIR list is ever collected —
+    never the corpus-sized node list — so the gate bounds driver memory
+    regardless of corpus size; set ``driver_threshold=0`` to force the
+    distributed path. Engine equality is pinned in tests/test_dedup.py."""
     pairs = neardup_pipeline(
         docs, n, threshold_ppm, id_col, text_col, bucket_mode=bucket_mode
-    )
+    ).select("doc_a", "doc_b").localCheckpoint()
     nodes = docs.select(F.col(id_col).alias("doc"))
-    cc = connected_components(nodes, pairs)
+    if pairs.count() <= driver_threshold:
+        cc = _components_via_driver(nodes, pairs)
+    else:
+        cc = connected_components(nodes, pairs)
     grp = cc.select(
         F.col("node").alias(id_col), F.col("label").alias("group_id")
     )
@@ -1165,6 +1210,7 @@ def leakage_safe_split(
     id_col: str = "doc_id",
     text_col: str = "text",
     bucket_mode: str = "all_pairs",
+    driver_threshold: int = 20_000,
 ) -> DataFrame:
     """Leakage-safe train/validation split: the unit of assignment is the
     NEAR-DUP GROUP (``neardup_groups`` / d8), not the document, so two
@@ -1184,7 +1230,8 @@ def leakage_safe_split(
     projection — no new shuffle.
     """
     groups = neardup_groups(
-        docs, n, threshold_ppm, id_col, text_col, bucket_mode=bucket_mode
+        docs, n, threshold_ppm, id_col, text_col,
+        bucket_mode=bucket_mode, driver_threshold=driver_threshold,
     )
     bucket = (
         F.conv(

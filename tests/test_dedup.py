@@ -132,6 +132,23 @@ def test_neardup_groups_consistent_with_pairs(spark, docs):
         assert find(d) == g
 
 
+def test_neardup_groups_decision_engines_equal(spark, docs):
+    """The size-gated driver union-find fast path and the distributed
+    connected-components path must return identical decisions — the same
+    engine-equality contract the streaming twin pins. The default gate
+    (20k pairs) takes the driver path on this corpus; driver_threshold=0
+    forces the distributed path."""
+    fast = {
+        (r.doc_id, r.group_id, r.group_size, r.is_canonical)
+        for r in D.neardup_groups(docs).collect()
+    }
+    dist = {
+        (r.doc_id, r.group_id, r.group_size, r.is_canonical)
+        for r in D.neardup_groups(docs, driver_threshold=0).collect()
+    }
+    assert fast == dist
+
+
 def test_lsh_recall_of_high_jaccard_pairs(spark, docs):
     """LSH (12 hashes, 3 bands of 4) must catch most truly-similar pairs:
     with per-row collision prob s^4 per band, a 0.5-Jaccard pair collides
