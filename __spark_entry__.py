@@ -352,12 +352,40 @@ SELECT conv_id, turn_idx, role FROM t WHERE {pred}"""
 
 
 def q_d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: per-doc canonical decision over normalized-text
-    fingerprint groups (hash groupBy/window — one shuffle)."""
+    """Exact dedup, both workflows as one tagged union (50-query cap —
+    the h1_sketches pattern): 'full' rows are the whole-corpus per-doc
+    decision; 'inc' rows re-decide docs with doc_id % 10 >= 8 as an
+    INCREMENT against the manifest bootstrapped from the other 80% —
+    the daily-ingest path where the corpus is never rescanned and prior
+    keepers are never relabeled. is_new_fp is FALSE (not NULL) on
+    'full' rows: the driver hash canonicalization dislikes nullable
+    columns."""
     from ctlp_spark.functions import dedup as D
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return D.exact_dedup(docs)
+    corpus = docs.where(F.col("doc_id") % 10 < 8)
+    inc = docs.where(F.col("doc_id") % 10 >= 8)
+    full = D.exact_dedup(docs).select(
+        F.lit("full").alias("part"),
+        "doc_id",
+        "fp",
+        "keep_id",
+        "group_size",
+        "is_canonical",
+        F.lit(False).alias("is_new_fp"),
+    )
+    incd = D.exact_dedup_increment(
+        inc, D.exact_dedup_manifest(corpus)
+    ).select(
+        F.lit("inc").alias("part"),
+        "doc_id",
+        "fp",
+        "keep_id",
+        "group_size",
+        "is_canonical",
+        "is_new_fp",
+    )
+    return full.unionByName(incd)
 
 
 def q_d2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -844,7 +872,7 @@ def _dedup_sql(kind: str) -> str:
     from ctlp_spark.functions import dedup as D
 
     return {
-        "exact": D.sql_exact_dedup(),
+        "exact": D.sql_exact_dedup_with_increment(),
         "jaccard": D.sql_ngram_jaccard_pairs(),
         "lsh": D.sql_lsh_candidate_pairs(),
         "simhash_near": D.sql_simhash_near_pairs(),

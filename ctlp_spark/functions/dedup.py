@@ -202,6 +202,169 @@ FROM f"""
 
 
 # ---------------------------------------------------------------------------
+# incremental exact dedup (manifest-backed)
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_manifest(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Bootstrap the corpus fingerprint MANIFEST: one row per distinct
+    normalized-text fingerprint — ``(fp, keep_id, group_size)``. This is
+    the persisted dedup state an incremental pipeline carries between
+    batches (|distinct contents| rows, not |docs|); ``exact_dedup`` joins
+    this same aggregate back to the rows, so bootstrap-then-increment and
+    whole-corpus dedup share one definition of the state.
+
+    One map-side-combined ``groupBy("fp")`` — no window, no join."""
+    return (
+        docs.select(
+            F.col(id_col), fingerprint_md5(F.col(text_col)).alias("fp")
+        )
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("group_size"))
+    )
+
+
+def exact_dedup_increment(
+    increment: DataFrame,
+    manifest: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc keep/drop decision for a NEW batch of documents against the
+    persisted fingerprint manifest — the daily-increment workflow at
+    100 TB: the corpus itself is never rescanned or reshuffled; only its
+    manifest (one row per distinct content) joins the increment.
+
+    Module contract (same as the streaming near-dup state): previously
+    assigned keepers are NEVER relabeled — an increment doc whose
+    fingerprint already exists in the manifest duplicates the existing
+    keeper even if the new id is smaller. For fingerprints new to the
+    corpus, the lowest increment id is canonical. ``group_size`` is the
+    post-increment total (prior + batch occurrences); ``is_new_fp`` marks
+    content the corpus has never seen (the novelty signal an ingest
+    monitor wants).
+
+    Scale shape: one map-side-combined ``groupBy("fp")`` over the batch,
+    one fp-keyed null-safe hash join of that (per-distinct-content)
+    aggregate against the manifest, one join back to the batch rows. fp
+    is md5-uniform — no skew; NULL-text docs (fp NULL) group together
+    null-safely; no windows (plan-gated in tests/test_plans.py)."""
+    from ctlp_spark.functions.joins import null_safe_join
+
+    f = increment.select(
+        F.col(id_col), fingerprint_md5(F.col(text_col)).alias("fp")
+    )
+    inc_agg = f.groupBy("fp").agg(
+        F.min(id_col).alias("_inc_min"), F.count("*").alias("_inc_n")
+    )
+    man = manifest.select(
+        "fp",
+        F.col("keep_id").alias("_man_keep"),
+        F.col("group_size").alias("_man_n"),
+        F.lit(True).alias("_known"),
+    )
+    merged = null_safe_join(inc_agg, man, on=["fp"], how="left").select(
+        "fp",
+        F.coalesce("_man_keep", F.col("_inc_min")).alias("keep_id"),
+        (F.coalesce("_man_n", F.lit(0)) + F.col("_inc_n")).alias(
+            "group_size"
+        ),
+        F.coalesce("_known", F.lit(False)).alias("_had_prior"),
+    )
+    return null_safe_join(f, merged, on=["fp"]).select(
+        id_col,
+        "fp",
+        "keep_id",
+        "group_size",
+        (F.col(id_col) == F.col("keep_id")).alias("is_canonical"),
+        (~F.col("_had_prior")).alias("is_new_fp"),
+    )
+
+
+def merge_dedup_manifest(
+    manifest: DataFrame,
+    increment: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The updated manifest after absorbing a batch: prior keepers win
+    (first-writer-wins, matching ``exact_dedup_increment``'s decisions),
+    occurrence counts add. Full outer fp-keyed hash join of the manifest
+    against the batch's per-fingerprint aggregate — both sides are one
+    row per distinct content. The join is null-safe BY CONSTRUCTION:
+    eqNullSafe matches the NULL-fp rows, and the coalesced fp is correct
+    on side-only rows (the other side's fp is NULL there).
+
+    Persisting this output per batch (e.g. parquet, one snapshot per
+    batch id — the streaming assignments layout) is the exactly-once
+    state handoff; sequential-batch merges reproduce the whole-corpus
+    ``exact_dedup_manifest`` exactly when batch id ranges ascend
+    (pinned in tests/test_dedup.py)."""
+    m = manifest.select(
+        F.col("fp").alias("_mfp"),
+        F.col("keep_id").alias("_mkeep"),
+        F.col("group_size").alias("_mn"),
+    )
+    i = exact_dedup_manifest(increment, id_col, text_col).select(
+        F.col("fp").alias("_ifp"),
+        F.col("keep_id").alias("_ikeep"),
+        F.col("group_size").alias("_in"),
+    )
+    return m.join(i, F.col("_mfp").eqNullSafe(F.col("_ifp")), "full").select(
+        F.coalesce("_mfp", "_ifp").alias("fp"),
+        F.coalesce("_mkeep", "_ikeep").alias("keep_id"),
+        (F.coalesce("_mn", F.lit(0)) + F.coalesce("_in", F.lit(0))).alias(
+            "group_size"
+        ),
+    )
+
+
+def sql_exact_dedup_with_increment(t: str = "documents") -> str:
+    """DuckDB twin of the d1 driver union: whole-corpus ``exact_dedup``
+    rows tagged 'full' plus ``exact_dedup_increment`` rows tagged 'inc',
+    where the manifest is bootstrapped on docs with doc_id % 10 < 8 and
+    the remaining docs arrive as the increment. Encodes the module
+    contract directly: a known fingerprint keeps the MANIFEST keeper
+    (even when the increment id is smaller), a new fingerprint takes the
+    increment min and flags is_new_fp; joins are IS NOT DISTINCT FROM so
+    NULL-text docs group null-safely. is_new_fp is FALSE (not NULL) on
+    'full' rows — the driver hash canonicalization dislikes nullable
+    columns."""
+    from ctlp_spark.functions.text import SQL_FINGERPRINT
+
+    fp = SQL_FINGERPRINT.format(t="text")
+    return f"""
+WITH f AS (SELECT doc_id, {fp} AS fp FROM {t}),
+corpus AS (SELECT * FROM f WHERE doc_id % 10 < 8),
+inc AS (SELECT * FROM f WHERE doc_id % 10 >= 8),
+man AS (SELECT fp, min(doc_id) AS keep_id,
+               CAST(count(*) AS BIGINT) AS group_size
+        FROM corpus GROUP BY fp),
+inc_agg AS (SELECT fp, min(doc_id) AS inc_min,
+                   CAST(count(*) AS BIGINT) AS inc_n
+            FROM inc GROUP BY fp),
+merged AS (
+  SELECT i.fp,
+         coalesce(m.keep_id, i.inc_min) AS keep_id,
+         coalesce(m.group_size, 0) + i.inc_n AS group_size,
+         m.keep_id IS NOT NULL AS had_prior
+  FROM inc_agg i LEFT JOIN man m ON i.fp IS NOT DISTINCT FROM m.fp)
+SELECT 'full' AS part, doc_id, fp,
+       min(doc_id) OVER (PARTITION BY fp) AS keep_id,
+       count(*) OVER (PARTITION BY fp) AS group_size,
+       doc_id = min(doc_id) OVER (PARTITION BY fp) AS is_canonical,
+       FALSE AS is_new_fp
+FROM f
+UNION ALL
+SELECT 'inc' AS part, i.doc_id, i.fp, g.keep_id, g.group_size,
+       i.doc_id = g.keep_id AS is_canonical,
+       NOT g.had_prior AS is_new_fp
+FROM inc i JOIN merged g ON i.fp IS NOT DISTINCT FROM g.fp"""
+
+
+# ---------------------------------------------------------------------------
 # exact n-gram Jaccard pairs
 # ---------------------------------------------------------------------------
 

@@ -132,6 +132,62 @@ def test_neardup_groups_consistent_with_pairs(spark, docs):
         assert find(d) == g
 
 
+def test_incremental_dedup_sequential_matches_full_corpus(spark, docs):
+    """Bootstrapping the manifest on one id-ordered batch and merging two
+    more must reproduce exact_dedup_manifest(full corpus) exactly —
+    keep_id equals the global min when batch id ranges ascend, and
+    group_size totals add across batches."""
+    b0 = docs.where("doc_id % 3 = 0")  # pretend batches arrive by id range
+    b1 = docs.where("doc_id % 3 = 1")
+    b2 = docs.where("doc_id % 3 = 2")
+    # reassign ids so batch ranges ascend (contract precondition)
+    from pyspark.sql import functions as F
+
+    n = docs.count()
+    b0 = b0.withColumn("doc_id", F.col("doc_id"))
+    b1 = b1.withColumn("doc_id", F.col("doc_id") + 10 * n)
+    b2 = b2.withColumn("doc_id", F.col("doc_id") + 20 * n)
+    full = b0.unionByName(b1).unionByName(b2)
+    m = D.exact_dedup_manifest(b0)
+    m = D.merge_dedup_manifest(m, b1)
+    m = D.merge_dedup_manifest(m, b2)
+    got = {(r.fp, r.keep_id, r.group_size) for r in m.collect()}
+    want = {
+        (r.fp, r.keep_id, r.group_size)
+        for r in D.exact_dedup_manifest(full).collect()
+    }
+    assert got == want
+
+
+def test_incremental_dedup_never_relabels_prior_keepers(spark):
+    """An increment doc with a SMALLER id than the manifest keeper of its
+    fingerprint is still a duplicate of the prior keeper (module
+    contract); brand-new fingerprints take the increment min and flag
+    is_new_fp. NULL-text docs group with the manifest's NULL-fp row."""
+    corpus = spark.createDataFrame(
+        [(100, "same text"), (101, "same text"), (102, None)],
+        "doc_id bigint, text string",
+    )
+    man = D.exact_dedup_manifest(corpus)
+    inc = spark.createDataFrame(
+        [(5, "same text"), (6, "fresh text"), (7, "fresh text"), (8, None)],
+        "doc_id bigint, text string",
+    )
+    rows = {
+        r.doc_id: (r.keep_id, r.group_size, r.is_canonical, r.is_new_fp)
+        for r in D.exact_dedup_increment(inc, man).collect()
+    }
+    assert rows[5] == (100, 3, False, False)  # prior keeper wins over id 5
+    assert rows[6] == (6, 2, True, True)
+    assert rows[7] == (6, 2, False, True)
+    assert rows[8] == (102, 2, False, False)  # NULL fp matched null-safely
+    m2 = {
+        r.keep_id: r.group_size
+        for r in D.merge_dedup_manifest(man, inc).collect()
+    }
+    assert m2 == {100: 3, 6: 2, 102: 2}
+
+
 def test_neardup_groups_decision_engines_equal(spark, docs):
     """The size-gated driver union-find fast path and the distributed
     connected-components path must return identical decisions — the same

@@ -224,6 +224,22 @@ def test_exact_dedup_skew_safe_no_window(spark):
     assert "partial_min" in plan or "partial_count" in plan, plan
 
 
+def test_exact_dedup_increment_skew_safe_no_window(spark):
+    """The manifest-backed incremental dedup must keep exact_dedup's scale
+    shape: map-side-combined groupBy(fp) + fp-keyed hash joins — no
+    Window, no nested loop; the corpus-scale manifest side must NOT be
+    broadcast (it joins the batch aggregate as a hash equi-join)."""
+    from ctlp_spark.functions import dedup as D
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    man = D.exact_dedup_manifest(docs)
+    plan = _plan(D.exact_dedup_increment(docs, man))
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_min" in plan or "partial_count" in plan, plan
+
+
 def test_neardup_group_sizes_skew_safe_no_window(spark, monkeypatch):
     """d8's group_size must come from a groupBy count + hash join back —
     a Window.partitionBy(group_id) puts a mega near-dup group on one task
