@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from ctlp_spark.functions import dedup as D
 
@@ -186,6 +187,78 @@ def test_incremental_dedup_never_relabels_prior_keepers(spark):
         for r in D.merge_dedup_manifest(man, inc).collect()
     }
     assert m2 == {100: 3, 6: 2, 102: 2}
+
+
+@pytest.mark.parametrize("seed", [41, 42, 43])
+def test_incremental_dedup_fuzz_matches_python_model(spark, seed):
+    """Seeded fuzz of the manifest algebra: random corpora with heavy
+    content collisions and NULL/empty texts, split into batches. The
+    Spark merge chain must equal a pure-Python fold over (id, fp), and
+    a non-ascending increment's decisions must match the model (prior
+    keeper wins, new fp takes the batch min, counts add)."""
+    import random
+
+    rng = random.Random(seed)
+    pool = ["dup one", "dup two", "", "  ", "unique %d", None, "x y z"]
+    rows = []
+    for i in range(150):
+        t = rng.choice(pool)
+        if t == "unique %d":
+            t = t % rng.randint(0, 60)  # collides sometimes
+        rows.append((i, t))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    fps = {
+        r.doc_id: r.fp
+        for r in docs.select(
+            "doc_id", D.fingerprint_md5(F.col("text")).alias("fp")
+        ).collect()
+    }
+
+    def model_manifest(ids):
+        m = {}
+        for i in sorted(ids):
+            fp = fps[i]
+            keep, n = m.get(fp, (i, 0))
+            m[fp] = (keep, n + 1)
+        return m
+
+    # ascending batch ranges: merge chain == whole-corpus manifest
+    cuts = sorted(rng.sample(range(1, 150), 2))
+    batches = [list(range(0, cuts[0])), list(range(cuts[0], cuts[1])),
+               list(range(cuts[1], 150))]
+    man = D.exact_dedup_manifest(docs.where(F.col("doc_id") < cuts[0]))
+    man = D.merge_dedup_manifest(
+        man, docs.where(F.col("doc_id").between(cuts[0], cuts[1] - 1))
+    )
+    man = D.merge_dedup_manifest(man, docs.where(F.col("doc_id") >= cuts[1]))
+    got = {r.fp: (r.keep_id, r.group_size) for r in man.collect()}
+    assert got == model_manifest(range(150)), f"merge chain, seed {seed}"
+
+    # non-ascending increment: a random subset arrives AFTER the rest
+    inc_ids = set(rng.sample(range(150), 40))
+    corpus_ids = set(range(150)) - inc_ids
+    prior = model_manifest(corpus_ids)
+    inc_model = {}
+    inc_min: dict = {}
+    inc_n: dict = {}
+    for i in sorted(inc_ids):
+        fp = fps[i]
+        inc_min.setdefault(fp, i)
+        inc_n[fp] = inc_n.get(fp, 0) + 1
+    for i in inc_ids:
+        fp = fps[i]
+        keep = prior[fp][0] if fp in prior else inc_min[fp]
+        gs = prior.get(fp, (0, 0))[1] + inc_n[fp]
+        inc_model[i] = (keep, gs, i == keep, fp not in prior)
+    inc_df = docs.where(F.col("doc_id").isin([int(i) for i in inc_ids]))
+    cor_df = docs.where(~F.col("doc_id").isin([int(i) for i in inc_ids]))
+    got_inc = {
+        r.doc_id: (r.keep_id, r.group_size, r.is_canonical, r.is_new_fp)
+        for r in D.exact_dedup_increment(
+            inc_df, D.exact_dedup_manifest(cor_df)
+        ).collect()
+    }
+    assert got_inc == inc_model, f"increment decision, seed {seed}"
 
 
 def test_neardup_groups_decision_engines_equal(spark, docs):

@@ -226,9 +226,11 @@ def test_exact_dedup_skew_safe_no_window(spark):
 
 def test_exact_dedup_increment_skew_safe_no_window(spark):
     """The manifest-backed incremental dedup must keep exact_dedup's scale
-    shape: map-side-combined groupBy(fp) + fp-keyed hash joins — no
-    Window, no nested loop; the corpus-scale manifest side must NOT be
-    broadcast (it joins the batch aggregate as a hash equi-join)."""
+    shape: map-side-combined groupBy(fp) + fp-keyed HASH EQUI-joins — no
+    Window, no Cartesian/nested-loop fallback. (Whether the planner
+    broadcasts the manifest side is a size decision — right at this SF,
+    and AQE picks shuffled hash/SMJ when the manifest is corpus-scale;
+    the gate pins the join SHAPE, not the exchange strategy.)"""
     from ctlp_spark.functions import dedup as D
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
