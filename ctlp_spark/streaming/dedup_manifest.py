@@ -1,0 +1,159 @@
+"""Streaming exact-dedup over the persisted fingerprint MANIFEST — the
+continuous-ingest twin of the batch ``exact_dedup_manifest`` /
+``exact_dedup_increment`` / ``merge_dedup_manifest`` family
+(ctlp_spark/functions/dedup.py).
+
+Shape (one streaming query, Spark-first):
+
+    document stream
+      → foreachBatch:
+          manifest-so-far  = one map-side-combined groupBy over the
+                             persisted per-batch manifest DELTAS
+          decisions        = exact_dedup_increment(batch, manifest)
+                             → idempotent overwrite of
+                               decisions/batch={id}
+          delta            = exact_dedup_manifest(batch)
+                             → idempotent overwrite of
+                               manifest_delta/batch={id}
+
+State layout — deltas, not snapshots: each micro-batch persists only its
+OWN per-distinct-content aggregate (O(|batch distinct contents|) rows),
+never a rewrite of the full corpus manifest. The manifest at any point is
+reconstructed by one map-side-combined ``groupBy(fp)`` over the delta
+partitions: first-writer-wins keeper via the repo's min-struct idiom
+(``min(struct(batch, keep_id))`` — batch ids ascend with arrival, so the
+earliest batch's keeper wins, matching ``exact_dedup_increment``'s
+never-relabel contract), occurrence counts sum. At 100 TB this is the
+parquet stand-in for an Iceberg MERGE-on-fp table with periodic
+compaction; :func:`compact_manifest_deltas` is that compaction.
+
+Exactly-once across kill/restart: both writes are idempotent overwrites
+keyed by batch id (the run_stream_pipeline replay pattern), and the
+manifest read EXCLUDES partitions with ``batch >= current batch id`` —
+a replayed micro-batch therefore re-decides against exactly the
+pre-batch state and re-emits identical rows. Pinned in
+tests/test_streaming_dedup_manifest.py (restart + nothing-new drains).
+
+Semantics contract (same as the batch family): previously assigned
+keepers are NEVER relabeled; a fingerprint new to the corpus takes the
+micro-batch min id and flags ``is_new_fp``; NULL/empty-text docs group
+together null-safely (GROUP BY treats NULL fp as one group);
+``group_size`` on a decision row is the post-batch running total. On
+corpora whose batches arrive in ascending doc-id ranges the final
+manifest EQUALS the whole-corpus ``exact_dedup_manifest`` bit-for-bit
+(the merge-chain pin in tests/test_dedup.py, replayed here through the
+streaming runner).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ctlp_spark.functions.dedup import (
+    exact_dedup_increment,
+    exact_dedup_manifest,
+)
+
+MANIFEST_SCHEMA = "fp string, keep_id bigint, group_size bigint"
+
+
+def dedup_manifest_at(
+    spark: SparkSession,
+    out_dir: str,
+    before_batch: int | None = None,
+) -> DataFrame:
+    """The corpus fingerprint manifest reconstructed from the persisted
+    per-batch deltas — one row per distinct content ever seen in batches
+    ``< before_batch`` (all batches when ``None``). One map-side-combined
+    ``groupBy(fp)``: keeper from the EARLIEST batch that saw the
+    fingerprint (min-struct — never relabels), counts sum. Empty-state
+    safe: returns an empty manifest before the first batch commits."""
+    root = os.path.join(out_dir, "manifest_delta")
+    if not (os.path.isdir(root) and any(os.scandir(root))):
+        return spark.createDataFrame([], MANIFEST_SCHEMA)
+    deltas = spark.read.parquet(root)
+    if before_batch is not None:
+        deltas = deltas.where(F.col("batch") < before_batch)
+    return (
+        deltas.groupBy("fp")
+        .agg(
+            F.min(F.struct("batch", "keep_id")).alias("_first"),
+            F.sum("group_size").alias("group_size"),
+        )
+        .select("fp", F.col("_first.keep_id").alias("keep_id"), "group_size")
+    )
+
+
+def dedup_decisions(spark: SparkSession, out_dir: str) -> DataFrame:
+    """All per-doc keep/drop decisions so far (one row per doc, exactly
+    once — verified in the restart test), with the ``batch`` partition
+    column carrying arrival lineage."""
+    return spark.read.parquet(os.path.join(out_dir, "decisions"))
+
+
+def compact_manifest_deltas(spark: SparkSession, out_dir: str) -> int:
+    """Fold every committed delta partition into ONE partition keyed by
+    the highest absorbed batch id — the Iceberg-compaction stand-in that
+    bounds manifest-read fan-in for long-running ingest. Run BETWEEN
+    drains (all written batches committed), never concurrently with the
+    query: a replay after compaction would see ``batch >= batch_id``
+    excluded correctly only for ids above the compacted one. The folded
+    row keeps the merged first-writer keeper, so reconstruction after
+    compaction is unchanged (pinned in tests). Returns the batch id the
+    state was folded into."""
+    root = os.path.join(out_dir, "manifest_delta")
+    deltas = spark.read.parquet(root)
+    top = deltas.agg(F.max("batch")).collect()[0][0]
+    # materialize BEFORE deleting the source partitions the fold reads
+    folded = dedup_manifest_at(spark, out_dir).localCheckpoint()
+    for entry in list(os.scandir(root)):
+        if entry.is_dir() and entry.name != f"batch={top}":
+            shutil.rmtree(entry.path)
+    folded.write.mode("overwrite").parquet(
+        os.path.join(root, f"batch={top}")
+    )
+    return int(top)
+
+
+def run_streaming_exact_dedup(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema: str = "doc_id bigint, text string",
+    max_files_per_trigger: int | None = None,
+):
+    """Start the streaming manifest-backed exact dedup; returns the
+    StreamingQuery (Trigger.AvailableNow — one bounded drain per call,
+    resumable from the checkpoint). Decisions land under
+    ``{out_dir}/decisions/batch={id}`` as
+    (doc_id, fp, keep_id, group_size, is_canonical, is_new_fp) rows;
+    read them back with :func:`dedup_decisions`, the live manifest with
+    :func:`dedup_manifest_at`."""
+    reader = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.load(src_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # two consumers (decision + delta) share one materialization of
+        # the micro-batch — md5 fingerprints computed once
+        batch_df = batch_df.localCheckpoint()
+        manifest = dedup_manifest_at(spark, out_dir, before_batch=batch_id)
+        exact_dedup_increment(batch_df, manifest).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, "decisions", f"batch={batch_id}"))
+        exact_dedup_manifest(batch_df).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "manifest_delta", f"batch={batch_id}")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

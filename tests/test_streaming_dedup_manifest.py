@@ -1,0 +1,153 @@
+"""Streaming manifest-backed exact dedup: decision correctness across
+micro-batches, restart exactly-once / never-relabel, delta-fold
+equivalence to the batch bootstrap, compaction
+(ctlp_spark/streaming/dedup_manifest.py)."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from ctlp_spark.functions.dedup import exact_dedup_manifest
+from ctlp_spark.streaming.dedup_manifest import (
+    compact_manifest_deltas,
+    dedup_decisions,
+    dedup_manifest_at,
+    run_streaming_exact_dedup,
+)
+
+
+def _write_doc(src: str, doc_id: int, text: str | None) -> None:
+    # explicit schema: an all-None text column must still be string typed
+    tbl = pa.table(
+        {"doc_id": pa.array([doc_id], pa.int64()),
+         "text": pa.array([text], pa.string())},
+    )
+    pq.write_table(tbl, os.path.join(src, f"doc-{doc_id:04d}.parquet"))
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    return str(src), str(out), str(ckpt)
+
+
+def _drain(spark, src, out, ckpt, per_trigger: int = 2) -> None:
+    q = run_streaming_exact_dedup(
+        spark, src, out, ckpt, max_files_per_trigger=per_trigger
+    )
+    q.awaitTermination()
+
+
+def _decisions(spark, out) -> dict[int, tuple]:
+    got: dict[int, tuple] = {}
+    for r in dedup_decisions(spark, out).collect():
+        assert r.doc_id not in got, f"doc {r.doc_id} decided twice"
+        got[r.doc_id] = (r.keep_id, r.group_size, r.is_canonical, r.is_new_fp)
+    return got
+
+
+def _manifest(spark, out) -> dict:
+    return {
+        r.fp: (r.keep_id, r.group_size)
+        for r in dedup_manifest_at(spark, out).collect()
+    }
+
+
+def test_streaming_decisions_and_manifest_match_batch(spark, dirs):
+    """Ascending-id arrival: per-doc decisions reproduce the whole-corpus
+    exact_dedup (first occurrence keeps), and the delta-fold manifest is
+    bit-identical to the batch bootstrap over all docs."""
+    src, out, ckpt = dirs
+    texts = {1: "alpha beta", 2: "gamma delta", 3: "alpha beta",
+             4: "epsilon", 5: "alpha beta", 6: "gamma delta"}
+    for i in sorted(texts):
+        _write_doc(src, i, texts[i])
+    _drain(spark, src, out, ckpt)
+
+    got = _decisions(spark, out)
+    # keeper = first arrival of each content; group_size is the RUNNING
+    # total as of the doc's own micro-batch (batches of 2, ascending ids)
+    assert {i: g[0] for i, g in got.items()} == {
+        1: 1, 2: 2, 3: 1, 4: 4, 5: 1, 6: 2
+    }
+    assert {i: g[2] for i, g in got.items()} == {
+        1: True, 2: True, 3: False, 4: True, 5: False, 6: False
+    }
+    assert {i: g[3] for i, g in got.items()} == {
+        1: True, 2: True, 3: False, 4: True, 5: False, 6: False
+    }
+
+    man = dedup_manifest_at(spark, out)
+    # no WindowExec anywhere in the reconstruction — one map-side
+    # combined groupBy (the repo's skew invariant, streaming state side)
+    assert "Window" not in man._jdf.queryExecution().executedPlan().toString()
+    batch_man = exact_dedup_manifest(spark.read.parquet(src))
+    assert _manifest(spark, out) == {
+        r.fp: (r.keep_id, r.group_size) for r in batch_man.collect()
+    }
+
+
+def test_restart_never_relabels_and_is_exactly_once(spark, dirs):
+    src, out, ckpt = dirs
+    _write_doc(src, 10, "content a")
+    _write_doc(src, 11, "content b")
+    _write_doc(src, 12, "content a")
+    _drain(spark, src, out, ckpt)
+    assert _decisions(spark, out)[12] == (10, 2, False, False)
+
+    # phase 2: RESTART from the checkpoint — a dup of 11 arrives with a
+    # SMALLER id than a same-batch unique doc; prior keeper 11 wins
+    _write_doc(src, 13, "content b")
+    _write_doc(src, 14, "content c")
+    _drain(spark, src, out, ckpt)
+    got = _decisions(spark, out)  # asserts one decision row per doc
+    assert got[13] == (11, 2, False, False)
+    assert got[14] == (14, 1, True, True)
+
+    # phase 3: nothing new — zero new decision rows, manifest unchanged
+    man_before = _manifest(spark, out)
+    n_before = dedup_decisions(spark, out).count()
+    _drain(spark, src, out, ckpt)
+    assert dedup_decisions(spark, out).count() == n_before
+    assert _manifest(spark, out) == man_before
+
+
+def test_null_texts_group_together(spark, dirs):
+    """NULL-text docs share the NULL fingerprint group (null-safe
+    everywhere: GROUP BY, min-struct fold, increment joins)."""
+    src, out, ckpt = dirs
+    _write_doc(src, 1, None)
+    _write_doc(src, 2, "real text")
+    _write_doc(src, 3, None)
+    _drain(spark, src, out, ckpt)
+    got = _decisions(spark, out)
+    assert got[1] == (1, 1, True, True)
+    assert got[3] == (1, 2, False, False)
+    assert _manifest(spark, out)[None] == (1, 2)
+
+
+def test_compaction_preserves_state_and_contract(spark, dirs):
+    src, out, ckpt = dirs
+    for i, t in [(1, "x"), (2, "y"), (3, "x"), (4, "z")]:
+        _write_doc(src, i, t)
+    _drain(spark, src, out, ckpt, per_trigger=1)
+    man_before = _manifest(spark, out)
+    delta_root = os.path.join(out, "manifest_delta")
+    assert len([e for e in os.scandir(delta_root) if e.is_dir()]) > 1
+
+    top = compact_manifest_deltas(spark, out)
+    dirs_after = [e.name for e in os.scandir(delta_root) if e.is_dir()]
+    assert dirs_after == [f"batch={top}"]
+    assert _manifest(spark, out) == man_before
+
+    # ingest continues after compaction: prior keeper still wins
+    _write_doc(src, 5, "y")
+    _drain(spark, src, out, ckpt, per_trigger=1)
+    assert _decisions(spark, out)[5] == (2, 2, False, False)
