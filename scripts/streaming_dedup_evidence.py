@@ -1,0 +1,118 @@
+"""Streaming manifest-dedup evidence: drain wall, decision correctness at
+volume, and manifest-reconstruction cost as delta partitions accumulate —
+before and after compaction (round 5, streaming/dedup_manifest.py).
+
+Corpus: B batch files of R docs each, ~30% duplicates of earlier content
+(the daily-ingest shape). Checks at the end: one decision row per doc,
+delta-fold manifest equals the batch bootstrap over the whole corpus,
+reconstruction wall measured at B delta partitions vs 1 (compacted).
+Run AFTER tests/bench are idle (per-JVM throughput swings ±40% under
+load).
+
+Usage: python scripts/streaming_dedup_evidence.py
+Prints one JSON line per phase.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import pyarrow as pa  # noqa: E402
+import pyarrow.parquet as pq  # noqa: E402
+
+from ctlp_spark.functions.dedup import exact_dedup_manifest  # noqa: E402
+from ctlp_spark.session import get_spark  # noqa: E402
+from ctlp_spark.streaming.dedup_manifest import (  # noqa: E402
+    compact_manifest_deltas,
+    dedup_decisions,
+    dedup_manifest_at,
+    run_streaming_exact_dedup,
+)
+
+ROOT = "/tmp/ctlp_sdedup_evidence"
+BATCHES = 25
+ROWS = 20_000  # docs per batch file → 500k docs total
+
+
+def _write_batches(src: str) -> None:
+    os.makedirs(src)
+    for b in range(BATCHES):
+        base = b * ROWS
+        ids, texts = [], []
+        for i in range(ROWS):
+            doc_id = base + i
+            if i % 10 < 3 and doc_id >= ROWS:
+                # duplicate the batch-0 doc at the same in-batch position
+                # → ~25-member dup groups spanning every batch
+                ref = doc_id % ROWS
+                texts.append(f"document body {ref} with shared tokens "
+                             f"{ref * 7919} {ref * 104729}")
+            else:
+                texts.append(f"document body {doc_id} with shared tokens "
+                             f"{doc_id * 7919} {doc_id * 104729}")
+            ids.append(doc_id)
+        pq.write_table(
+            pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "text": pa.array(texts, pa.string())}),
+            os.path.join(src, f"batch-{b:03d}.parquet"),
+        )
+
+
+def main() -> None:
+    shutil.rmtree(ROOT, ignore_errors=True)
+    src, out, ckpt = (os.path.join(ROOT, d) for d in ("src", "out", "ckpt"))
+    _write_batches(src)
+    spark = get_spark(app_name="sdedup-evidence", cpus=32,
+                      shuffle_partitions=32)
+
+    t0 = time.time()
+    q = run_streaming_exact_dedup(spark, src, out, ckpt,
+                                  max_files_per_trigger=1)
+    q.awaitTermination()
+    drain = time.time() - t0
+    n_dec = dedup_decisions(spark, out).count()
+    n_docs = BATCHES * ROWS
+    print(json.dumps({"phase": "drain", "batches": BATCHES,
+                      "docs": n_docs, "decisions": n_dec,
+                      "sec": round(drain, 2),
+                      "docs_per_sec": round(n_docs / drain)}))
+    assert n_dec == n_docs, "exactly-once violated"
+
+    def fold_wall() -> tuple[float, int]:
+        t = time.time()
+        n = dedup_manifest_at(spark, out).count()
+        return time.time() - t, n
+
+    w_many, n_many = fold_wall()
+    w_many2, _ = fold_wall()
+    n_parts = len([e for e in os.scandir(
+        os.path.join(out, "manifest_delta")) if e.is_dir()])
+    print(json.dumps({"phase": "fold_deltas", "delta_parts": n_parts,
+                      "manifest_rows": n_many,
+                      "sec": round(min(w_many, w_many2), 2)}))
+
+    batch_man = exact_dedup_manifest(spark.read.parquet(src))
+    diff = (dedup_manifest_at(spark, out)
+            .exceptAll(batch_man)
+            .unionAll(batch_man.exceptAll(dedup_manifest_at(spark, out)))
+            .count())
+    print(json.dumps({"phase": "bootstrap_equality", "diff_rows": diff}))
+    assert diff == 0, "delta fold != whole-corpus bootstrap"
+
+    top = compact_manifest_deltas(spark, out)
+    w_one, n_one = fold_wall()
+    w_one2, _ = fold_wall()
+    print(json.dumps({"phase": "fold_compacted", "folded_into": top,
+                      "manifest_rows": n_one,
+                      "sec": round(min(w_one, w_one2), 2)}))
+    assert n_one == n_many
+
+
+if __name__ == "__main__":
+    main()
