@@ -1171,16 +1171,29 @@ def q_s7_quantize_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_s8_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Learned-centroid IVF: deterministic integer k-means (2 Lloyd
-    rounds, md5-seeded, fixed-point quantized) assigning every vector a
-    cell + exact integer squared L2 — the scale path when no precomputed
-    label partition exists (s2's cell is the label column; this LEARNS
-    one). Fully integer => the oracle unrolls the identical rounds as
-    CTEs and every (cell, dist) matches bit-for-bit."""
+    """Learned-centroid IVF, both workflows as one tagged union (50-query
+    cap — the d1 pattern): 'full' rows are the whole-corpus deterministic
+    integer k-means (2 Lloyd rounds, md5-seeded, fixed-point quantized)
+    assigning every vector a cell + exact integer squared L2; 'inc' rows
+    are the PERSISTED-INDEX workflow — fit the model on vec_id % 10 < 8,
+    then assign the remaining 20% against the FROZEN centroids
+    (kmeans_assign: one Arrow map pass, no shuffle — the daily embedding
+    increment never refits or rescans the corpus). Fully integer => the
+    oracle unrolls the identical rounds as CTEs (fit on the 80%
+    subquery, final assignment over the increment) and every
+    (cell, dist) matches bit-for-bit."""
     from ctlp_spark.functions import ann as A
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return A.kmeans_ivf(emb)
+    full = A.kmeans_ivf(emb).select(
+        F.lit("full").alias("part"), "vec_id", "cell", "dist"
+    )
+    corpus = emb.where(F.col("vec_id") % 10 < 8)
+    inc = emb.where(F.col("vec_id") % 10 >= 8)
+    incd = A.kmeans_assign(inc, A.kmeans_fit_model(corpus)).select(
+        F.lit("inc").alias("part"), "vec_id", "cell", "dist"
+    )
+    return full.unionByName(incd)
 
 
 def q_s9_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1230,7 +1243,18 @@ def _ann_sql(kind: str) -> str:
         "neardup": A.sql_embedding_neardup_pairs(),
         "multiprobe": A.sql_multiprobe_candidates(n_queries=10),
         "quantize": A.sql_quantize_digest(),
-        "kmeans": A.sql_kmeans_ivf(),
+        "kmeans": (
+            "SELECT 'full' AS part, * FROM ({})\n"
+            "UNION ALL\nSELECT 'inc' AS part, * FROM ({})".format(
+                A.sql_kmeans_ivf(),
+                A.sql_kmeans_ivf(
+                    t="(SELECT * FROM embeddings WHERE vec_id % 10 < 8)",
+                    assign_t=(
+                        "(SELECT * FROM embeddings WHERE vec_id % 10 >= 8)"
+                    ),
+                ),
+            )
+        ),
     }[kind]
 
 

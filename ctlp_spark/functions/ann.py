@@ -941,6 +941,63 @@ def _kmeans_fit(
     return quant, C
 
 
+def kmeans_fit_model(
+    emb: DataFrame, k: int = KM_K, iters: int = KM_ITERS, id_col: str = "vec_id"
+) -> "np.ndarray":
+    """TRAIN step of the persisted-index workflow: fit the deterministic
+    integer k-means on a corpus and return only the (k, d) int64 centroid
+    model — O(k·d) driver state, the thing :func:`save_kmeans_model`
+    persists and daily increments are assigned against (the production
+    IVF pattern: build the index once, assign new batches without a
+    refit — see :func:`kmeans_assign`)."""
+    _, C = _kmeans_fit(emb, k, iters, id_col)
+    return C
+
+
+def kmeans_assign(
+    emb: DataFrame, centroids: "np.ndarray", id_col: str = "vec_id"
+) -> DataFrame:
+    """ASSIGN step: nearest-cell assignment of arbitrary vectors to a
+    FROZEN centroid model — the daily-increment ANN path. Pure map pass:
+    quantize + integer argmin in one Arrow projection, the O(k·d) model
+    shipped in the UDF closure — NO shuffle, no join, no state
+    (plan-gated exchange-free in tests/test_plans.py). Bit-identical to
+    the assignment inside :func:`kmeans_ivf` given the same model (ALL
+    integer math, ties to the lowest cell)."""
+    q = emb.select(id_col, _km_quant_col()(F.col("embedding")).alias("q"))
+    return q.select(
+        id_col, _km_assign_udf(centroids)(F.col("q")).alias("a")
+    ).select(id_col, "a.cell", "a.dist")
+
+
+def save_kmeans_model(spark, centroids: "np.ndarray", path: str) -> None:
+    """Persist the centroid model as a tiny parquet relation
+    (cell, j, val) — engine-neutral, inspectable, and mergeable with the
+    repo's other parquet-backed state (dedup manifest deltas, streaming
+    assignments). k·d rows total (e.g. 8×64)."""
+    k, d = centroids.shape
+    rows = [
+        (int(c), int(j), int(centroids[c, j]))
+        for c in range(k)
+        for j in range(d)
+    ]
+    spark.createDataFrame(rows, "cell int, j int, val bigint").coalesce(
+        1
+    ).write.mode("overwrite").parquet(path)
+
+
+def load_kmeans_model(spark, path: str) -> "np.ndarray":
+    """Load a model written by :func:`save_kmeans_model`; round-trips
+    bit-for-bit (pinned in tests/test_ann_kernels.py)."""
+    rows = spark.read.parquet(path).collect()
+    k = max(r.cell for r in rows) + 1
+    d = max(r.j for r in rows) + 1
+    C = np.zeros((k, d), dtype=np.int64)
+    for r in rows:
+        C[r.cell, r.j] = r.val
+    return C
+
+
 def _km_probe_udf(centroids: np.ndarray, nprobe: int):
     """Query-side probe kernel: the ``nprobe`` nearest cells, ordered by
     (dist, cell) — same all-integer math as _km_assign_udf; element 0 is
@@ -966,10 +1023,16 @@ def sql_kmeans_ivf(
     k: int = KM_K,
     iters: int = KM_ITERS,
     dim: int = DIM,
+    assign_t: str | None = None,
 ) -> str:
     """DuckDB twin of kmeans_ivf: the same quantization, seeding, and
     ``iters`` Lloyd rounds unrolled as CTEs. Exact integer math end to
-    end, so list-lambda evaluation order is irrelevant."""
+    end, so list-lambda evaluation order is irrelevant.
+
+    ``assign_t``: when set, the FIT runs on ``t`` but the final
+    assignment runs over ``assign_t`` instead — the twin of
+    ``kmeans_assign(increment, kmeans_fit_model(corpus))`` (train on the
+    corpus, assign the increment against the frozen model)."""
     quant = (
         f"list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * "
         f"{KM_SCALE}) AS BIGINT) + {KM_SHIFT})"
@@ -1016,13 +1079,17 @@ def sql_kmeans_ivf(
   GROUP BY p.cell, p.c
 )""")
         prev = f"c{i}"
+    assign_src = "q"
+    if assign_t is not None:
+        parts.append(f"qa AS (SELECT vec_id, {quant} AS q FROM {assign_t})")
+        assign_src = "qa"
     final = f"""
 SELECT vec_id, cell, CAST(dist AS BIGINT) AS dist FROM (
   SELECT q.vec_id, c.cell, {dist} AS dist,
          row_number() OVER (
            PARTITION BY q.vec_id
            ORDER BY {dist}, c.cell) AS rn
-  FROM q CROSS JOIN {prev} c)
+  FROM {assign_src} q CROSS JOIN {prev} c)
 WHERE rn = 1"""
     return "WITH " + ",\n".join(parts) + final
 

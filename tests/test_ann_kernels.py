@@ -385,3 +385,39 @@ def test_embedding_neardup_chain_kernels_equal_and_linear(spark):
     hot_pairs = [p for p in cell if p[0] == 0]
     assert len(hot_pairs) == m - 1
     assert all(ppm == 1_000_000 for _, _, ppm in hot_pairs)
+
+
+def test_kmeans_assign_matches_full_ivf(spark):
+    """Assignment against the FROZEN full-corpus model reproduces
+    kmeans_ivf row-for-row — the persisted-index increment path adds no
+    drift (same quantization, same all-integer argmin)."""
+    from ctlp_spark.functions import ann as A
+    from ctlp_spark.functions.dedup import release_caches
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    C = A.kmeans_fit_model(emb)
+    release_caches()
+    a = sorted(map(tuple, A.kmeans_assign(emb, C).collect()))
+    b = sorted(map(tuple, A.kmeans_ivf(emb).collect()))
+    release_caches()
+    assert a == b
+
+
+def test_kmeans_model_save_load_roundtrip(spark, tmp_path):
+    """save_kmeans_model/load_kmeans_model round-trips the centroid
+    matrix bit-for-bit, and assignments against the reloaded model are
+    identical — the train-once / assign-increments contract."""
+    from ctlp_spark.functions import ann as A
+    from ctlp_spark.functions.dedup import release_caches
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    C = A.kmeans_fit_model(emb)
+    release_caches()
+    path = str(tmp_path / "km_model")
+    A.save_kmeans_model(spark, C, path)
+    C2 = A.load_kmeans_model(spark, path)
+    assert C2.dtype == np.int64 and (C == C2).all()
+    inc = emb.where(F.col("vec_id") % 10 >= 8)
+    a = sorted(map(tuple, A.kmeans_assign(inc, C).collect()))
+    b = sorted(map(tuple, A.kmeans_assign(inc, C2).collect()))
+    assert a == b and len(a) > 0

@@ -321,3 +321,20 @@ def test_value_hist_sketch_single_exchange(spark):
     assert plan.count("Exchange") == 1, plan
     assert "partial_count" in plan or "HashAggregate" in plan, plan
     assert "Window" not in plan
+
+
+def test_kmeans_assign_is_exchange_free(spark):
+    """The persisted-index increment path (kmeans_assign against a frozen
+    centroid model) must be a PURE MAP pass — quantize + integer argmin in
+    Arrow projections with the O(k*d) model in the UDF closure. Any
+    Exchange here means the daily embedding increment is shuffling, which
+    it never needs to."""
+    import numpy as np
+
+    from ctlp_spark.functions import ann as A
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    model = np.zeros((A.KM_K, A.DIM), dtype=np.int64)
+    plan = _plan(A.kmeans_assign(emb, model))
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" in plan, plan
