@@ -300,13 +300,30 @@ def _t12_sql() -> str:
 
 
 def q_t4_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc top-5 tf·idf terms with EXACT integer idf_milli =
+    """Per-doc top-5 tf·idf terms, both workflows as one tagged union
+    (50-query cap — the d1/s8 pattern), with EXACT integer idf_milli =
     (N·1000) div df (ln() is libm-dependent in the last ulp; rational
-    integer idf hashes identically in both engines)."""
+    integer idf hashes identically in both engines). 'full' rows are the
+    whole-corpus computation; 'inc' rows re-score docs with
+    doc_id % 10 >= 8 as an INCREMENT against the df MANIFEST of the
+    other 80% (corpus text never rescanned — only its (term, df)
+    relation joins the batch). The increment merges its own term
+    contributions first, so 'inc' rows equal the 'full' rows of those
+    docs by construction — which is exactly what the oracle encodes."""
     from ctlp_spark.functions import text as X
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return X.tfidf_top_terms(docs, k=5)
+    full = X.tfidf_top_terms(docs, k=5).select(
+        F.lit("full").alias("part"), "doc_id", "rank", "term", "tf",
+        "score_milli",
+    )
+    corpus = docs.where(F.col("doc_id") % 10 < 8)
+    inc = docs.where(F.col("doc_id") % 10 >= 8)
+    incd = X.tfidf_increment(inc, X.df_manifest(corpus), k=5).select(
+        F.lit("inc").alias("part"), "doc_id", "rank", "term", "tf",
+        "score_milli",
+    )
+    return full.unionByName(incd)
 
 
 def q_t5_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -328,9 +345,17 @@ _T5_RATES = {"user": 500_000, "assistant": 250_000, "tool": 100_000}
 
 
 def _t4_sql() -> str:
+    # 'inc' = the whole-corpus scores restricted to the increment docs
+    # (the tfidf_increment contract: merging the increment's own df into
+    # the manifest reproduces full-corpus idf exactly)
     from ctlp_spark.functions import text as X
 
-    return X.sql_tfidf_top_terms(k=5)
+    full = X.sql_tfidf_top_terms(k=5)
+    return (
+        f"SELECT 'full' AS part, * FROM ({full})\n"
+        "UNION ALL\n"
+        f"SELECT 'inc' AS part, * FROM ({full}) WHERE doc_id % 10 >= 8"
+    )
 
 
 def _t5_sql() -> str:

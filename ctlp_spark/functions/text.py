@@ -310,6 +310,105 @@ def tfidf_top_terms(
     )
 
 
+def df_manifest(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Document-frequency MANIFEST: the persisted text-pipeline state the
+    tf·idf increment scores against — one (term, df) row per distinct
+    term plus one ``term = ''`` row carrying the corpus DOCUMENT COUNT
+    ('' is impossible as a term: tokenization drops empty strings, so the
+    sentinel can never collide). Everything is a summable count, so the
+    merge rule is uniform: union + groupBy(term) sum
+    (:func:`merge_df_manifest`) — the same mergeable-state design as the
+    HLL/CMS/hist sketches and the dedup fingerprint manifest.
+
+    One (doc, term) distinct + one map-side-combined groupBy — no
+    windows, no joins."""
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(norm_text(F.col(text_col)), " ")).alias("term"),
+    ).where(F.col("term") != "")
+    dfreq = (
+        toks.distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    n = docs.agg(F.count("*").alias("df")).select(
+        F.lit("").alias("term"), "df"
+    )
+    return dfreq.unionByName(n)
+
+
+def merge_df_manifest(a, b):
+    """Merge two df manifests: every row (term dfs AND the '' corpus-count
+    sentinel) sums. ``df_manifest(a ∪ b) == merge(df_manifest(a),
+    df_manifest(b))`` exactly when the doc sets are disjoint (pinned in
+    tests/test_text.py)."""
+    return (
+        a.unionByName(b).groupBy("term").agg(F.sum("df").alias("df"))
+    )
+
+
+def tfidf_increment(
+    inc_docs,
+    manifest,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_vocab: bool = True,
+):
+    """Per-doc top-k tf·idf for an INCREMENT of documents, scored against
+    the corpus df manifest — the daily-ingest text pipeline: corpus TEXT
+    is never rescanned; only its (term, df) manifest joins the batch.
+
+    Exact contract: the increment's own term contributions are merged
+    into the manifest before scoring, so the output EQUALS
+    ``tfidf_top_terms(corpus ∪ increment)`` restricted to the increment
+    docs — same integer idf_milli = (N·1000) div df, same tie-break
+    (pinned in tests/test_text.py; driver-checked via the t4 tagged
+    union's DuckDB twin). Scale shape mirrors :func:`tfidf_top_terms`:
+    map-side-combined tf/df aggregates, broadcast vocab join by default
+    (``broadcast_vocab=False`` for web-scale vocabularies), per-doc
+    bounded top-k window."""
+    full = merge_df_manifest(
+        manifest, df_manifest(inc_docs, id_col, text_col)
+    )
+    dfreq = full.where(F.col("term") != "")
+    n = full.where(F.col("term") == "").select(F.col("df").alias("n"))
+    toks = inc_docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(norm_text(F.col(text_col)), " ")).alias("term"),
+    ).where(F.col("term") != "")
+    tf = toks.groupBy("doc", "term").agg(F.count("*").alias("tf"))
+    scored = (
+        tf.join(F.broadcast(dfreq) if broadcast_vocab else dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc",
+            "term",
+            "tf",
+            (
+                F.col("tf")
+                * F.floor((F.col("n") * 1000) / F.col("df")).cast("bigint")
+            ).alias("score_milli"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc").orderBy(
+        F.col("score_milli").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("doc").alias(id_col),
+            F.col("rank").cast("bigint").alias("rank"),
+            "term",
+            "tf",
+            "score_milli",
+        )
+    )
+
+
 def sql_tfidf_top_terms(t: str = "documents", k: int = 5) -> str:
     norm = SQL_NORM.format(t="text")
     return f"""

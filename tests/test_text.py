@@ -179,3 +179,49 @@ def test_repetition_signals_hand_corpus(spark):
     assert rows[2].top_bigram_ppm == 1_000_000
     assert rows[3].n_grams == 1 and rows[3].dup_ppm == 0
     assert rows[3].top_bigram_ppm == 1_000_000
+
+
+# ----- df manifest / tf·idf increment -------------------------------------
+
+
+def test_df_manifest_merge_equals_whole_corpus(spark):
+    """df_manifest(a ∪ b) == merge(df_manifest(a), df_manifest(b)) on
+    disjoint doc sets — every row (term dfs and the '' corpus-count
+    sentinel) is a summable count."""
+    from pyspark.sql import functions as F
+
+    from ctlp_spark.functions.text import df_manifest, merge_df_manifest
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = docs.where(F.col("doc_id") % 10 < 8)
+    b = docs.where(F.col("doc_id") % 10 >= 8)
+    merged = {
+        r.term: r.df for r in merge_df_manifest(
+            df_manifest(a), df_manifest(b)).collect()
+    }
+    whole = {r.term: r.df for r in df_manifest(docs).collect()}
+    assert merged == whole
+    assert whole[""] == docs.count()
+
+
+def test_tfidf_increment_equals_full_restricted(spark):
+    """The increment contract: scoring an increment against the corpus
+    manifest (plus the increment's own contributions) reproduces the
+    whole-corpus tfidf_top_terms restricted to the increment docs —
+    same integer idf, same tie-break, row-for-row."""
+    from pyspark.sql import functions as F
+
+    from ctlp_spark.functions.text import (
+        df_manifest,
+        tfidf_increment,
+        tfidf_top_terms,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.where(F.col("doc_id") % 10 < 8)
+    inc = docs.where(F.col("doc_id") % 10 >= 8)
+    got = sorted(map(tuple, tfidf_increment(
+        inc, df_manifest(corpus), k=5).collect()))
+    want = sorted(map(tuple, tfidf_top_terms(docs, k=5).where(
+        F.col("doc_id") % 10 >= 8).collect()))
+    assert got == want and len(got) > 0
