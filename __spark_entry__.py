@@ -902,7 +902,7 @@ def _dedup_sql(kind: str) -> str:
         "lsh": D.sql_lsh_candidate_pairs(),
         "simhash_near": D.sql_simhash_near_pairs(),
         "neardup_pipeline": D.sql_neardup_pipeline(),
-        "neardup_groups": D.sql_neardup_groups(),
+        "neardup_groups": D.sql_neardup_groups_with_increment(),
         "passage": D.sql_passage_dedup(),
         "decontaminate": D.sql_decontaminate(),
         "leakage_split": D.sql_leakage_safe_split(),
@@ -926,12 +926,37 @@ def _d3_sql() -> str:
 
 
 def q_d8_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The dedup DECISION: near-dup pairs → connected components (iterative
-    min-label propagation; recursive-CTE twin) → per-doc canonical flag."""
+    """The dedup DECISION, both workflows as one tagged union (50-query
+    cap — the d1 pattern): 'full' rows are near-dup pairs → connected
+    components (iterative min-label propagation; recursive-CTE twin) →
+    per-doc canonical flag over the whole corpus; 'inc' rows re-decide
+    docs with doc_id % 10 >= 8 as an INCREMENT against the near-dup
+    manifest (assignments + LSH bucket state + 60-bit shingle-hash
+    feature store) bootstrapped from the other 80% — corpus text is never
+    re-read or re-shingled, and prior group labels are never changed
+    (the streaming frozen-group contract)."""
     from ctlp_spark.functions import dedup as D
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return D.neardup_groups(docs)
+    full = D.neardup_groups(docs).select(
+        F.lit("full").alias("part"),
+        "doc_id",
+        "group_id",
+        "group_size",
+        "is_canonical",
+        F.lit(False).alias("is_new_group"),
+    )
+    corpus = docs.where(F.col("doc_id") % 10 < 8)
+    inc = docs.where(F.col("doc_id") % 10 >= 8)
+    incd = D.neardup_increment(inc, D.neardup_manifest(corpus)).select(
+        F.lit("inc").alias("part"),
+        "doc_id",
+        "group_id",
+        "group_size",
+        "is_canonical",
+        "is_new_group",
+    )
+    return full.unionByName(incd)
 
 
 def q_s1_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:

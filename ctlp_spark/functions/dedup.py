@@ -126,6 +126,19 @@ def shingle_hash(col):
 SQL_SHINGLE_HASH = f"(CAST(('0x' || substr(md5({{x}}), 1, 15)) AS BIGINT) % {P})"
 
 
+def shingle_hash60(col):
+    """Full 60-bit md5 shingle hash (no mod-P reduction) — the near-dup
+    manifest's FEATURE hash. 2^60 space keeps pair-level collisions
+    negligible at web scale (mod-P's 31-bit space would systematically
+    inflate hash-set Jaccard once distinct shingles pass ~10^5), while an
+    8-byte value keeps the persisted feature store ~an order of magnitude
+    smaller than retained shingle text."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+SQL_SHINGLE_HASH60 = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+
+
 def token_hash_halves(col):
     """Two independent 32-bit md5 halves per token → 64 usable sign bits
     for SimHash. shingle_hash (mod 2^31-1) only has 31 live bits — using
@@ -451,6 +464,37 @@ def minhash_signatures(
     return sh.groupBy("doc").agg(*aggs)
 
 
+def band_rows(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc, band_idx, band_key) — one row per document per band, the LSH
+    blocking relation shared by ``lsh_candidate_pairs`` and the near-dup
+    manifest's bucket state. Band keys are md5 of ROWS_PER_BAND
+    consecutive min-hashes — bit-identical to the streaming twin's
+    ``doc_band_rows`` (pinned there)."""
+    sig = minhash_signatures(docs, n, id_col, text_col)
+    return sig.select(
+        "doc",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(bi).alias("band_idx"),
+                    F.md5(
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.col(f"mh{bi * ROWS_PER_BAND + r}")
+                                for r in range(ROWS_PER_BAND)
+                            ],
+                        )
+                    ).alias("band_key"),
+                )
+                for bi in range(BANDS)
+            ])
+        ).alias("b"),
+    ).select("doc", "b.band_idx", "b.band_key")
+
+
 def lsh_candidate_pairs(
     docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text",
     bucket_mode: str = "all_pairs",
@@ -484,27 +528,7 @@ def lsh_candidate_pairs(
     contract is lossless) in tests/test_dedup.py, and the chain mode's
     O(m) candidate growth on an implanted hot cluster is measured there.
     """
-    sig = minhash_signatures(docs, n, id_col, text_col)
-    bands = sig.select(
-        "doc",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(bi).alias("band_idx"),
-                    F.md5(
-                        F.concat_ws(
-                            "_",
-                            *[
-                                F.col(f"mh{bi * ROWS_PER_BAND + r}")
-                                for r in range(ROWS_PER_BAND)
-                            ],
-                        )
-                    ).alias("band_key"),
-                )
-                for bi in range(BANDS)
-            ])
-        ).alias("b"),
-    ).select("doc", "b.band_idx", "b.band_key")
+    bands = band_rows(docs, n, id_col, text_col)
     if bucket_mode == "chain":
         mins = bands.groupBy("band_idx", "band_key").agg(
             F.min("doc").alias("doc_min")
@@ -1129,6 +1153,429 @@ SELECT doc_a, doc_b, inter, union_sz,
        CAST(floor((inter * 1000000) / union_sz) AS BIGINT) AS jaccard_ppm
 FROM verified
 WHERE CAST(floor((inter * 1000000) / union_sz) AS BIGINT) >= {threshold_ppm}"""
+
+
+# ---------------------------------------------------------------------------
+# incremental near-dup (manifest-backed)
+# ---------------------------------------------------------------------------
+#
+# The persist-and-increment twin of the exact-dedup fingerprint manifest,
+# for the MinHash-LSH near-dup DECISION (d8). The manifest is three
+# parquet-persistable relations:
+#
+#   assignments — (doc_id, group_id): every decided doc's FROZEN group
+#                 label (the streaming contract: never relabeled);
+#   buckets     — (band_idx, band_key, doc): the LSH bucket state a new
+#                 batch joins to find candidate partners among prior docs.
+#                 all_pairs mode keeps every member row (exact LSH
+#                 recall); chain mode keeps ONE row per bucket (the min
+#                 doc id) — O(buckets) state, the mega-cluster-safe mode;
+#   features    — (doc, sh60): per retained doc, its DISTINCT 60-bit
+#                 shingle-hash set — what exact Jaccard verification of
+#                 (new, prior) candidates runs against, so corpus TEXT is
+#                 never re-read or re-shingled by an increment. In chain
+#                 mode only current bucket minima are retained (the only
+#                 docs a future arrival can pair with).
+#
+# Verification for increments runs in 60-BIT HASH space (inter/union over
+# sh60 sets). Hash-set Jaccard equals shingle-set Jaccard unless two
+# distinct shingles of the SAME compared pair collide in 2^60 — negligible
+# at any realistic doc size, and pinned empirically against the
+# string-space whole-corpus recompute in tests/test_dedup.py.
+
+
+NEARDUP_MANIFEST_PARTS = ("assignments", "buckets", "features")
+
+
+def _feature_sets(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc, sh60) — each doc's distinct 60-bit shingle-hash set (the
+    manifest feature relation). One shingle pass + one map-side-combined
+    collect_set groupBy."""
+    return (
+        shingle_rows(docs, n, id_col, text_col)
+        .select("doc", shingle_hash60(F.col("sh")).alias("h"))
+        .groupBy("doc")
+        .agg(F.collect_set("h").alias("sh60"))
+    )
+
+
+def neardup_manifest(
+    docs: DataFrame,
+    n: int = 3,
+    threshold_ppm: int = 300_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_mode: str = "all_pairs",
+    driver_threshold: int = 20_000,
+) -> dict[str, DataFrame]:
+    """Bootstrap the near-dup manifest from a corpus: the ``neardup_groups``
+    decision (assignments), the LSH bucket state, and the feature store —
+    see the section comment for the schema and state-size contract. The
+    three relations persist via :func:`save_neardup_manifest` (parquet,
+    one subdir per part — the streaming-assignments layout)."""
+    assignments = neardup_groups(
+        docs, n, threshold_ppm, id_col, text_col,
+        bucket_mode=bucket_mode, driver_threshold=driver_threshold,
+    ).select(F.col(id_col).alias("doc_id"), "group_id")
+    bands = band_rows(docs, n, id_col, text_col)
+    features = _feature_sets(docs, n, id_col, text_col)
+    if bucket_mode == "chain":
+        buckets = bands.groupBy("band_idx", "band_key").agg(
+            F.min("doc").alias("doc")
+        )
+        features = features.join(
+            buckets.select("doc").distinct(), "doc", "left_semi"
+        )
+    elif bucket_mode == "all_pairs":
+        buckets = bands
+    else:
+        raise ValueError(f"unknown bucket_mode: {bucket_mode!r}")
+    return {
+        "assignments": assignments, "buckets": buckets, "features": features
+    }
+
+
+def _jaccard_on_feature_sets(
+    features: DataFrame, candidates: DataFrame, threshold_ppm: int
+) -> DataFrame:
+    """Exact hash-set Jaccard over candidate pairs: two id-keyed hash
+    joins + array_intersect — the feature-store twin of
+    ``jaccard_on_candidates`` (same ppm arithmetic, sh60 sets instead of
+    shingle strings)."""
+    j = candidates.join(
+        features.select(F.col("doc").alias("doc_a"), F.col("sh60").alias("sa")),
+        "doc_a",
+    ).join(
+        features.select(F.col("doc").alias("doc_b"), F.col("sh60").alias("sb")),
+        "doc_b",
+    )
+    inter = F.size(F.array_intersect("sa", "sb")).cast("bigint")
+    union = F.size("sa").cast("bigint") + F.size("sb").cast("bigint") - inter
+    return (
+        j.select(
+            "doc_a",
+            "doc_b",
+            F.floor((inter * 1_000_000) / union).cast("bigint").alias(
+                "jaccard_ppm"
+            ),
+        )
+        .where(F.col("jaccard_ppm") >= threshold_ppm)
+        .select("doc_a", "doc_b")
+    )
+
+
+def neardup_increment(
+    increment: DataFrame,
+    manifest: dict[str, DataFrame],
+    n: int = 3,
+    threshold_ppm: int = 300_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_mode: str = "all_pairs",
+    driver_threshold: int = 20_000,
+) -> DataFrame:
+    """Near-dup decision for a NEW batch against the persisted manifest —
+    the daily-increment workflow: corpus text is never re-read or
+    re-shingled; only the manifest's bucket and feature relations join the
+    batch.
+
+    Module contract (the streaming frozen-group contract,
+    ``streaming/neardup.py``): previously assigned docs are NEVER
+    relabeled. A new doc verified against prior docs joins the group with
+    the MINIMUM prior label it (transitively, within this batch) connects
+    to; components touching no prior doc take the minimum new doc id. On
+    corpora where every near-dup arrives after its canonical and no
+    increment doc bridges two existing groups, the increment decision
+    EQUALS ``neardup_groups`` over the whole corpus restricted to the
+    batch — pinned in tests/test_dedup.py.
+
+    Scale shape: candidate generation is the same banded bucket equi-join
+    as ``lsh_candidate_pairs`` over (prior bucket state ∪ batch band
+    rows), restricted to pairs touching the batch; verification is two
+    id-keyed hash joins against the feature store; the group decision is
+    size-gated exactly like ``neardup_groups`` (driver union-find at or
+    below ``driver_threshold`` verified pairs, distributed
+    connected-components above — the engines are the streaming module's,
+    shared so batch and streaming pin one contract). ``bucket_mode`` must
+    match the manifest's (chain state cannot serve all_pairs recall).
+
+    Returns one row per batch doc: (doc_id, group_id, group_size,
+    is_canonical, is_new_group) where group_size is the post-increment
+    total and is_new_group marks groups the corpus has never seen."""
+    # shared decision engines — the streaming module owns the frozen-group
+    # contract; importing lazily avoids a module cycle (streaming.neardup
+    # imports this module at top level)
+    from ctlp_spark.functions.joins import null_safe_join
+    from ctlp_spark.streaming.neardup import (
+        _assign_components,
+        _assign_components_distributed,
+    )
+
+    if bucket_mode not in ("all_pairs", "chain"):
+        raise ValueError(f"unknown bucket_mode: {bucket_mode!r}")
+    spark = increment.sparkSession
+    inc_bands = band_rows(increment, n, id_col, text_col)
+    combined = manifest["buckets"].select(
+        "band_idx", "band_key", "doc", F.lit(False).alias("is_new")
+    ).unionByName(inc_bands.withColumn("is_new", F.lit(True)))
+    if bucket_mode == "chain":
+        # struct min orders by doc first (ids unique) — one row per bucket
+        mins = combined.groupBy("band_idx", "band_key").agg(
+            F.min(F.struct("doc", "is_new")).alias("m")
+        )
+        cand = (
+            combined.join(mins, on=["band_idx", "band_key"])
+            .where(
+                (F.col("doc") > F.col("m.doc"))
+                & (F.col("is_new") | F.col("m.is_new"))
+            )
+            .select(F.col("m.doc").alias("doc_a"), F.col("doc").alias("doc_b"))
+            .distinct()
+        )
+    else:
+        cand = (
+            combined.alias("x")
+            .join(combined.alias("y"), on=["band_idx", "band_key"])
+            .where(
+                (F.col("x.doc") < F.col("y.doc"))
+                & (F.col("x.is_new") | F.col("y.is_new"))
+            )
+            .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
+            .distinct()
+        )
+    feats = manifest["features"].unionByName(
+        _feature_sets(increment, n, id_col, text_col)
+    )
+    # materialized once: both decision engines re-read the verified pairs
+    # (count gate, then collect or CC edge scans)
+    verified = _jaccard_on_feature_sets(
+        feats, cand, threshold_ppm
+    ).localCheckpoint()
+    arrivals = increment.select(F.col(id_col).alias("doc_id"))
+    prior = manifest["assignments"]
+    if verified.count() > driver_threshold:
+        new_assign = _assign_components_distributed(
+            spark, arrivals, verified, prior
+        )
+    else:
+        pairs = [(r.doc_a, r.doc_b) for r in verified.collect()]
+        new_ids = sorted(r.doc_id for r in arrivals.collect())
+        prior_map: dict[int, int] = {}
+        need = {d for p in pairs for d in p}
+        if need:
+            prior_map = {
+                r.doc_id: r.group_id
+                for r in prior.where(
+                    F.col("doc_id").isin([int(d) for d in need])
+                ).collect()
+            }
+        assigned = _assign_components(new_ids, pairs, prior_map)
+        new_assign = spark.createDataFrame(
+            [(int(d), int(g)) for d, g in sorted(assigned.items())] or [],
+            "doc_id bigint, group_id bigint",
+        )
+    sizes = prior.unionByName(new_assign).groupBy("group_id").agg(
+        F.count("*").alias("group_size")
+    )
+    prior_groups = prior.select("group_id").distinct().withColumn(
+        "_old_grp", F.lit(True)
+    )
+    return (
+        null_safe_join(new_assign, sizes, on=["group_id"])
+        .join(prior_groups, "group_id", "left")
+        .select(
+            F.col("doc_id").alias(id_col),
+            "group_id",
+            "group_size",
+            (F.col("doc_id") == F.col("group_id")).alias("is_canonical"),
+            F.col("_old_grp").isNull().alias("is_new_group"),
+        )
+    )
+
+
+def merge_neardup_manifest(
+    manifest: dict[str, DataFrame],
+    inc_docs: DataFrame,
+    inc_assignments: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_mode: str = "all_pairs",
+) -> dict[str, DataFrame]:
+    """The manifest after absorbing a decided batch: assignments extend
+    with the batch's (already-frozen) labels, bucket state unions the
+    batch's band rows (re-minimized per bucket in chain mode), and the
+    feature store unions the batch's hash sets (pruned to current bucket
+    minima in chain mode — the only docs a future arrival can pair with).
+    ``inc_assignments`` is :func:`neardup_increment`'s output for this
+    batch (extra columns ignored). Sequential bootstrap → increment →
+    merge reproduces the whole-corpus bootstrap exactly on canonical-first
+    corpora (pinned in tests/test_dedup.py)."""
+    assignments = manifest["assignments"].unionByName(
+        inc_assignments.select(F.col(id_col).alias("doc_id"), "group_id")
+    )
+    inc_bands = band_rows(inc_docs, n, id_col, text_col)
+    combined = manifest["buckets"].unionByName(inc_bands)
+    features = manifest["features"].unionByName(
+        _feature_sets(inc_docs, n, id_col, text_col)
+    )
+    if bucket_mode == "chain":
+        buckets = combined.groupBy("band_idx", "band_key").agg(
+            F.min("doc").alias("doc")
+        )
+        features = features.join(
+            buckets.select("doc").distinct(), "doc", "left_semi"
+        )
+    elif bucket_mode == "all_pairs":
+        buckets = combined
+    else:
+        raise ValueError(f"unknown bucket_mode: {bucket_mode!r}")
+    return {
+        "assignments": assignments, "buckets": buckets, "features": features
+    }
+
+
+def save_neardup_manifest(manifest: dict[str, DataFrame], path: str) -> None:
+    """Persist the three manifest relations as parquet subdirs — the same
+    engine-neutral parquet-state layout as the streaming assignments and
+    the k-means centroid model."""
+    import os
+
+    for part in NEARDUP_MANIFEST_PARTS:
+        manifest[part].write.mode("overwrite").parquet(
+            os.path.join(path, part)
+        )
+
+
+def load_neardup_manifest(spark, path: str) -> dict[str, DataFrame]:
+    """Read a persisted near-dup manifest back (see
+    :func:`save_neardup_manifest`)."""
+    import os
+
+    return {
+        part: spark.read.parquet(os.path.join(path, part))
+        for part in NEARDUP_MANIFEST_PARTS
+    }
+
+
+def sql_neardup_groups_with_increment(
+    t: str = "documents", n: int = 3, threshold_ppm: int = 300_000
+) -> str:
+    """DuckDB twin of the d8 driver union: whole-corpus ``neardup_groups``
+    rows tagged 'full' plus ``neardup_increment`` rows tagged 'inc', where
+    the manifest is bootstrapped on docs with doc_id % 10 < 8 and the rest
+    arrive as one increment (all_pairs mode). Encodes the module contract
+    directly: the corpus decision is the d8 recursive-CTE min-reachable-id
+    fixpoint restricted to corpus×corpus pairs; increment candidates are
+    band-sharing pairs touching the batch, verified in 60-bit HASH space
+    (the feature-store metric); component labels freeze prior groups
+    (min prior label if the component touches one, else min new id)."""
+    shingles_expr = sql_shingles("text", n)
+    h60 = SQL_SHINGLE_HASH60.format(x="s")
+    return f"""
+WITH RECURSIVE {_sql_neardup_ctes(t, n)},
+pairs AS (
+  SELECT doc_a, doc_b FROM verified
+  WHERE CAST(floor((inter * 1000000) / union_sz) AS BIGINT) >= {threshold_ppm}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach AS (
+  SELECT doc_id AS node, doc_id AS r FROM {t}
+  UNION
+  SELECT e.dst AS node, reach.r FROM reach JOIN edges e ON e.src = reach.node
+),
+grp AS (SELECT node AS doc_id, min(r) AS group_id FROM reach GROUP BY node),
+gsize AS (SELECT group_id, CAST(count(*) AS BIGINT) AS group_size
+          FROM grp GROUP BY group_id),
+cpairs AS (
+  SELECT doc_a, doc_b FROM pairs WHERE doc_a % 10 < 8 AND doc_b % 10 < 8
+),
+cedges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM cpairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM cpairs
+),
+creach AS (
+  SELECT doc_id AS node, doc_id AS r FROM {t} WHERE doc_id % 10 < 8
+  UNION
+  SELECT e.dst AS node, creach.r
+  FROM creach JOIN cedges e ON e.src = creach.node
+),
+cgrp AS (SELECT node AS doc_id, min(r) AS group_id FROM creach GROUP BY node),
+sets60 AS (
+  SELECT doc_id AS doc,
+         list_distinct(list_transform({shingles_expr}, s -> {h60})) AS sh
+  FROM {t}
+),
+icand AS (
+  SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
+  FROM bands x JOIN bands y USING (band_idx, band_key)
+  WHERE x.doc < y.doc AND NOT (x.doc % 10 < 8 AND y.doc % 10 < 8)
+),
+iverified AS (
+  SELECT doc_a, doc_b
+  FROM icand
+  JOIN sets60 sa ON sa.doc = doc_a
+  JOIN sets60 sb ON sb.doc = doc_b
+  WHERE CAST(floor((CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT)
+                    * 1000000)
+                   / (CAST(len(sa.sh) AS BIGINT) + len(sb.sh)
+                      - len(list_intersect(sa.sh, sb.sh)))) AS BIGINT)
+        >= {threshold_ppm}
+),
+iedges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM iverified
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM iverified
+),
+inodes AS (
+  SELECT doc_id AS node FROM {t} WHERE doc_id % 10 >= 8
+  UNION SELECT doc_a FROM iverified
+  UNION SELECT doc_b FROM iverified
+),
+ireach AS (
+  SELECT node, node AS r FROM inodes
+  UNION
+  SELECT e.dst AS node, ireach.r
+  FROM ireach JOIN iedges e ON e.src = ireach.node
+),
+icomp AS (SELECT node, min(r) AS comp FROM ireach GROUP BY node),
+ilabels AS (
+  SELECT comp,
+         min(c.group_id) AS fixed_min,
+         min(CASE WHEN c.group_id IS NULL THEN i.node END) AS new_min
+  FROM icomp i LEFT JOIN cgrp c ON c.doc_id = i.node
+  GROUP BY comp
+),
+iassign AS (
+  SELECT i.node AS doc_id, coalesce(l.fixed_min, l.new_min) AS group_id
+  FROM icomp i JOIN ilabels l USING (comp)
+  WHERE i.node % 10 >= 8
+),
+iall AS (
+  SELECT doc_id, group_id FROM cgrp
+  UNION ALL
+  SELECT doc_id, group_id FROM iassign
+),
+isize AS (SELECT group_id, CAST(count(*) AS BIGINT) AS group_size
+          FROM iall GROUP BY group_id),
+oldg AS (SELECT DISTINCT group_id FROM cgrp)
+SELECT 'full' AS part, g.doc_id, g.group_id, gs.group_size,
+       g.doc_id = g.group_id AS is_canonical, FALSE AS is_new_group
+FROM grp g JOIN gsize gs USING (group_id)
+UNION ALL
+SELECT 'inc' AS part, a.doc_id, a.group_id, s.group_size,
+       a.doc_id = a.group_id AS is_canonical,
+       o.group_id IS NULL AS is_new_group
+FROM iassign a
+JOIN isize s USING (group_id)
+LEFT JOIN oldg o ON o.group_id = a.group_id"""
 
 
 # ---------------------------------------------------------------------------

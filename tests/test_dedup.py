@@ -609,3 +609,215 @@ def test_simhash_chain_linear_and_lossless_on_exact_cluster(spark):
     # star (0,1),(0,2),(0,3) must survive
     assert chain <= allp
     assert {(0, 1, 0), (0, 2, 0), (0, 3, 0)} <= chain
+
+
+# ----- incremental near-dup (manifest-backed) -------------------------------
+#
+# Fixture shape: "canonical-first" corpora — every near-dup group's minimum
+# id is in the bootstrap corpus (or the whole group arrives in the
+# increment), and no increment doc bridges two prior groups. Under those
+# conditions the frozen-group increment EQUALS the whole-corpus recompute
+# (the streaming module contract); the frozen/bridge behaviors themselves
+# are pinned separately below.
+
+_ND_BASE = [
+    "the quick brown fox jumps over the lazy dog every single morning",
+    "pack my box with five dozen liquor jugs before the long trip south",
+    "sphinx of black quartz judge my vow said the tired museum curator",
+    "how vexingly quick daft zebras jump when the keeper rattles the gate",
+]
+
+# Shares _ND_BASE[0]'s first 8 words (J = 6/14 ≈ 0.43) AND — searched over
+# tail suffixes under the module's fixed md5/affine minhash constants —
+# deterministically collides with it on LSH band 0 (mid-Jaccard pairs only
+# share a band by luck; this one is pinned by construction).
+_ND_BRIDGE_B = "the quick brown fox jumps over the lazy tail2 word2 extra2 end2"
+
+
+def _nd_fixture(spark):
+    """corpus ids 0..3, increment ids 100..103; expected full-corpus groups
+    {0,1,100}, {2}, {3,103}, {101,102} (variants append one word => 3-gram
+    Jaccard ~0.9, far above the 0.3 threshold)."""
+    corpus = spark.createDataFrame(
+        [
+            (0, _ND_BASE[0]),
+            (1, _ND_BASE[0] + " alpha"),
+            (2, _ND_BASE[1]),
+            (3, _ND_BASE[2]),
+        ],
+        "doc_id bigint, text string",
+    )
+    inc = spark.createDataFrame(
+        [
+            (100, _ND_BASE[0] + " beta"),
+            (101, _ND_BASE[3]),
+            (102, _ND_BASE[3] + " gamma"),
+            (103, _ND_BASE[2] + " delta"),
+        ],
+        "doc_id bigint, text string",
+    )
+    return corpus, inc
+
+
+@pytest.mark.parametrize("driver_threshold", [20_000, 0])
+def test_neardup_increment_matches_recompute(spark, driver_threshold):
+    """On a canonical-first corpus the manifest increment must equal
+    neardup_groups over corpus ∪ increment restricted to the increment —
+    group labels, post-increment sizes, canonical flags — for BOTH
+    decision engines (driver union-find and distributed CC). This also
+    pins 60-bit hash-space verification against the recompute's
+    string-space verification."""
+    corpus, inc = _nd_fixture(spark)
+    man = D.neardup_manifest(corpus)
+    got = {
+        r.doc_id: (r.group_id, r.group_size, r.is_canonical, r.is_new_group)
+        for r in D.neardup_increment(
+            inc, man, driver_threshold=driver_threshold
+        ).collect()
+    }
+    full = {
+        r.doc_id: (r.group_id, r.group_size, r.is_canonical)
+        for r in D.neardup_groups(corpus.unionByName(inc)).collect()
+    }
+    assert set(got) == {100, 101, 102, 103}
+    for d, (g, sz, canon, _new) in got.items():
+        assert (g, sz, canon) == full[d], f"doc {d}"
+    assert got[100][3] is False   # joined prior group 0
+    assert got[101][3] is True    # brand-new group
+    assert got[102][3] is True
+    assert got[103][3] is False
+
+
+def test_neardup_increment_never_relabels_prior_groups(spark):
+    """An increment doc with a SMALLER id than its near-dup group's prior
+    label still joins the PRIOR group (frozen-group contract — a
+    recompute would relabel the whole group to the new min); and a bridge
+    doc connecting two prior groups joins the smaller label while both
+    prior groups stay distinct.
+
+    The bridge case needs a candidate pair at MID Jaccard, which banded
+    LSH only catches probabilistically — so the fixture uses a SEARCHED
+    text pair: _ND_BRIDGE_B below was found by scanning tails until it
+    deterministically shares band 0 with _ND_BASE[0] under the module's
+    fixed md5/affine constants (J = 6/14 ≈ 0.43). The bootstrap runs at
+    threshold 0.6 (A and B verify-fail => separate prior groups); the
+    bridge increment at 0.3 (A-B similarity now verifies)."""
+    A = _ND_BASE[0]
+    B = _ND_BRIDGE_B
+    # the A group carries the LARGER label (200) so a bridge landing on
+    # label 100 is PROOF the cross-group A↔B edge verified — a bridge that
+    # only reached A's own group would read 200
+    corpus = spark.createDataFrame(
+        [(200, A), (201, A), (100, B), (101, B)],
+        "doc_id bigint, text string",
+    )
+    man = D.neardup_manifest(corpus, threshold_ppm=600_000)
+    groups = {
+        r.doc_id: r.group_id for r in man["assignments"].collect()
+    }
+    assert groups == {200: 200, 201: 200, 100: 100, 101: 100}
+
+    # frozen label: id 5 < prior label 200, still joins prior group 200
+    # (A-B similarity 0.43 does NOT verify at threshold 0.6)
+    inc5 = spark.createDataFrame([(5, A)], "doc_id bigint, text string")
+    got5 = {
+        r.doc_id: (r.group_id, r.group_size, r.is_canonical, r.is_new_group)
+        for r in D.neardup_increment(inc5, man, threshold_ppm=600_000).collect()
+    }
+    assert got5[5] == (200, 3, False, False)
+
+    # bridge: exact dup of A (so it shares A's band-0 key with B) that now
+    # ALSO verifies against group 100 at the lower threshold — it joins
+    # min(100, 200) = 100; the prior groups themselves stay distinct (only
+    # new docs are ever labeled)
+    inc6 = spark.createDataFrame([(6, A)], "doc_id bigint, text string")
+    got6 = {
+        r.doc_id: (r.group_id, r.is_canonical, r.is_new_group)
+        for r in D.neardup_increment(inc6, man, threshold_ppm=300_000).collect()
+    }
+    assert got6[6] == (100, False, False)
+
+
+@pytest.mark.parametrize("bucket_mode", ["all_pairs", "chain"])
+def test_neardup_manifest_merge_reproduces_bootstrap(spark, bucket_mode):
+    """bootstrap(corpus) → increment → merge must equal
+    bootstrap(corpus ∪ increment) exactly on a canonical-first corpus:
+    assignments, bucket state, and the feature store (chain mode prunes
+    features to current bucket minima on BOTH routes)."""
+    corpus, inc = _nd_fixture(spark)
+    man = D.neardup_manifest(corpus, bucket_mode=bucket_mode)
+    incd = D.neardup_increment(inc, man, bucket_mode=bucket_mode)
+    merged = D.merge_neardup_manifest(
+        man, inc, incd, bucket_mode=bucket_mode
+    )
+    want = D.neardup_manifest(
+        corpus.unionByName(inc), bucket_mode=bucket_mode
+    )
+    for part in ("assignments", "buckets"):
+        got_rows = sorted(map(tuple, merged[part].collect()))
+        want_rows = sorted(map(tuple, want[part].collect()))
+        assert got_rows == want_rows, f"{part} ({bucket_mode})"
+    got_f = {r.doc: sorted(r.sh60) for r in merged["features"].collect()}
+    want_f = {r.doc: sorted(r.sh60) for r in want["features"].collect()}
+    assert got_f == want_f, f"features ({bucket_mode})"
+
+
+def test_neardup_increment_chain_mode_on_exact_cluster(spark):
+    """chain-mode manifest increment: identical-text docs verify against
+    the bucket min, so the decision matches all_pairs exactly on
+    exact-duplicate clusters (the chain recall contract), with one bucket
+    row per (band_idx, band_key) and the feature store pruned to bucket
+    minima."""
+    corpus = spark.createDataFrame(
+        [(i, _ND_BASE[i % 2]) for i in range(6)],
+        "doc_id bigint, text string",
+    )
+    inc = spark.createDataFrame(
+        [(100 + i, _ND_BASE[i % 2]) for i in range(4)]
+        + [(200, _ND_BASE[2])],
+        "doc_id bigint, text string",
+    )
+    out = {}
+    for mode in ("all_pairs", "chain"):
+        man = D.neardup_manifest(corpus, bucket_mode=mode)
+        out[mode] = {
+            r.doc_id: (r.group_id, r.group_size, r.is_canonical, r.is_new_group)
+            for r in D.neardup_increment(inc, man, bucket_mode=mode).collect()
+        }
+    assert out["chain"] == out["all_pairs"]
+    assert out["chain"][100] == (0, 5, False, False)  # 3 corpus + 2 inc
+    assert out["chain"][200] == (200, 1, True, True)
+    # chain state bounds: one bucket row per key, features only for minima
+    man = D.neardup_manifest(corpus, bucket_mode="chain")
+    buckets = man["buckets"].collect()
+    assert len(buckets) == len({(r.band_idx, r.band_key) for r in buckets})
+    min_docs = {r.doc for r in buckets}
+    assert {r.doc for r in man["features"].collect()} == min_docs
+
+
+def test_neardup_manifest_save_load_roundtrip(spark, tmp_path):
+    """Parquet persistence roundtrip: an increment decided against the
+    loaded manifest equals one decided against the in-memory manifest."""
+    corpus, inc = _nd_fixture(spark)
+    man = D.neardup_manifest(corpus)
+    path = str(tmp_path / "nd_manifest")
+    D.save_neardup_manifest(man, path)
+    loaded = D.load_neardup_manifest(spark, path)
+    assert set(loaded) == set(D.NEARDUP_MANIFEST_PARTS)
+    got = sorted(
+        map(tuple, D.neardup_increment(inc, loaded).collect())
+    )
+    want = sorted(map(tuple, D.neardup_increment(inc, man).collect()))
+    assert got == want
+
+
+def test_neardup_increment_bad_bucket_mode_raises(spark):
+    corpus, inc = _nd_fixture(spark)
+    man = D.neardup_manifest(corpus)
+    with pytest.raises(ValueError, match="bucket_mode"):
+        D.neardup_increment(inc, man, bucket_mode="nope")
+    with pytest.raises(ValueError, match="bucket_mode"):
+        D.neardup_manifest(corpus, bucket_mode="nope")
+    with pytest.raises(ValueError, match="bucket_mode"):
+        D.merge_neardup_manifest(man, inc, man["assignments"],
+                                 bucket_mode="nope")

@@ -338,3 +338,32 @@ def test_kmeans_assign_is_exchange_free(spark):
     plan = _plan(A.kmeans_assign(emb, model))
     assert "Exchange" not in plan, plan
     assert "ArrowEvalPython" in plan, plan
+
+
+def test_neardup_increment_skew_safe_shapes(spark):
+    """The near-dup manifest increment must keep the d8 family's scale
+    shape: the decision output's group sizes come from a map-side-combined
+    groupBy + hash join back (no Window over a potentially-hot group_id),
+    and the feature-store verification stage is pure id-keyed hash
+    equi-joins (no Cartesian/nested-loop fallback) — the relations that
+    blow up at 100 TB."""
+    from ctlp_spark.functions import dedup as D
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.where(F.col("doc_id") % 10 < 8)
+    inc = docs.where(F.col("doc_id") % 10 >= 8)
+    man = D.neardup_manifest(corpus)
+    out_plan = _plan(D.neardup_increment(inc, man))
+    assert "Window" not in out_plan, out_plan
+    assert "CartesianProduct" not in out_plan
+    assert "BroadcastNestedLoopJoin" not in out_plan
+    assert "partial_count" in out_plan or "HashAggregate" in out_plan, out_plan
+
+    # verification stage: feature-store hash joins only
+    pairs = spark.createDataFrame(
+        [(1, 2)], "doc_a bigint, doc_b bigint"
+    )
+    ver_plan = _plan(D._jaccard_on_feature_sets(man["features"], pairs, 0))
+    assert "CartesianProduct" not in ver_plan
+    assert "BroadcastNestedLoopJoin" not in ver_plan
+    assert "Window" not in ver_plan, ver_plan
