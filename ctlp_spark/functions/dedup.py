@@ -1317,39 +1317,74 @@ def neardup_increment(
         raise ValueError(f"unknown bucket_mode: {bucket_mode!r}")
     spark = increment.sparkSession
     inc_bands = band_rows(increment, n, id_col, text_col)
-    combined = manifest["buckets"].select(
-        "band_idx", "band_key", "doc", F.lit(False).alias("is_new")
-    ).unionByName(inc_bands.withColumn("is_new", F.lit(True)))
+    # Candidate generation joins the SMALL batch side against the bucket
+    # state — never the state against itself: a combined self-join would
+    # recompute every prior×prior bucket pair (the whole corpus's
+    # candidate work) only to filter it out afterwards. Measured in
+    # scripts/neardup_increment_evidence.py: the self-join shape made the
+    # increment SLOWER than the whole-corpus recompute at 400k docs.
+    new_side = inc_bands.select(
+        "band_idx", "band_key", F.col("doc").alias("ndoc")
+    )
     if bucket_mode == "chain":
-        # struct min orders by doc first (ids unique) — one row per bucket
+        # chain state is one min row per bucket; the post-increment min
+        # is a map-side-combined groupBy over (state ∪ batch). Each new
+        # doc pairs with its bucket's min; when the min IS a new doc it
+        # also pairs with the bucket's prior min (the streaming running-
+        # min emission, batch-folded).
+        combined = manifest["buckets"].select(
+            "band_idx", "band_key", "doc", F.lit(False).alias("is_new")
+        ).unionByName(inc_bands.withColumn("is_new", F.lit(True)))
         mins = combined.groupBy("band_idx", "band_key").agg(
             F.min(F.struct("doc", "is_new")).alias("m")
         )
-        cand = (
-            combined.join(mins, on=["band_idx", "band_key"])
-            .where(
-                (F.col("doc") > F.col("m.doc"))
-                & (F.col("is_new") | F.col("m.is_new"))
+        new_pairs = (
+            new_side.join(mins, on=["band_idx", "band_key"])
+            .where(F.col("ndoc") != F.col("m.doc"))
+            .select(
+                F.col("m.doc").alias("doc_a"), F.col("ndoc").alias("doc_b")
             )
-            .select(F.col("m.doc").alias("doc_a"), F.col("doc").alias("doc_b"))
-            .distinct()
         )
+        bridge = (
+            mins.where(F.col("m.is_new"))
+            .join(manifest["buckets"], on=["band_idx", "band_key"])
+            .where(F.col("doc") != F.col("m.doc"))
+            .select(F.col("m.doc").alias("doc_a"), F.col("doc").alias("doc_b"))
+        )
+        cand = new_pairs.unionByName(bridge).select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+        ).distinct()
     else:
+        # all pairs touching the batch: (state ∪ batch) ⋈ batch per
+        # bucket — each new-new pair arrives twice, normalized + distinct
+        combined = manifest["buckets"].select(
+            "band_idx", "band_key", "doc"
+        ).unionByName(inc_bands)
         cand = (
-            combined.alias("x")
-            .join(combined.alias("y"), on=["band_idx", "band_key"])
-            .where(
-                (F.col("x.doc") < F.col("y.doc"))
-                & (F.col("x.is_new") | F.col("y.is_new"))
+            combined.join(new_side, on=["band_idx", "band_key"])
+            .where(F.col("doc") != F.col("ndoc"))
+            .select(
+                F.least("doc", "ndoc").alias("doc_a"),
+                F.greatest("doc", "ndoc").alias("doc_b"),
             )
-            .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
             .distinct()
         )
     feats = manifest["features"].unionByName(
         _feature_sets(increment, n, id_col, text_col)
     )
-    # materialized once: both decision engines re-read the verified pairs
-    # (count gate, then collect or CC edge scans)
+    # materialized once: the id restriction below and both decision
+    # engines re-read the candidate/verified relations
+    cand = cand.localCheckpoint()
+    # restrict the corpus-sized feature store to candidate ids BEFORE the
+    # pair joins (the jaccard_on_candidates shape): a broadcast/semi id
+    # filter reads the store once and shuffles only touched docs' arrays
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc")))
+        .distinct()
+    )
+    feats = feats.join(cand_ids, "doc", "left_semi")
     verified = _jaccard_on_feature_sets(
         feats, cand, threshold_ppm
     ).localCheckpoint()

@@ -1,0 +1,110 @@
+"""Scale evidence for the manifest-backed near-dup increment (round 5).
+
+The claim the persist-and-increment contract makes at 100 TB: deciding a
+DAILY BATCH against the persisted manifest costs ~O(batch) — the corpus
+is never re-shingled, re-minhashed, or re-labeled — while the recompute
+it replaces costs O(corpus) every day. This run measures both sides at
+two corpus sizes 4× apart with the SAME 10k-doc increment (driver-shaped
+word-soup corpora, ~1.2% near-dup tail; the increment is 30% near-dups
+of corpus docs, 70% fresh):
+
+* bootstrap   — neardup_manifest(corpus) + parquet save (the ONE-TIME
+  index build; scales with the corpus, by design);
+* increment   — load manifest + neardup_increment(batch) end to end
+  (the repeated daily cost; should grow far slower than the corpus —
+  its corpus-dependent work is one bucket-state scan and the
+  feature-store join probe, NOT text processing);
+* recompute   — neardup_groups(corpus ∪ batch) (what the increment
+  replaces; ~linear in the corpus).
+
+Run it ALONE (never concurrently with tests/bench — CLAUDE.md bench
+discipline):  python scripts/neardup_increment_evidence.py
+Prints one JSON line per (corpus size, phase); results are recorded in
+BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/scripts")
+
+from scale_evidence import DOC_SCHEMA, gen_documents, write_parquet  # noqa: E402
+
+ROOT = "/tmp/ctlp_ndinc"
+INC_M = 10_000
+
+
+def gen_increment(corpus: pd.DataFrame, m: int, seed: int) -> pd.DataFrame:
+    """m docs with ids ABOVE the corpus range (canonical-first): 30%
+    near-dups of random corpus docs (one appended token), 70% fresh."""
+    rng = np.random.default_rng(seed)
+    n = len(corpus)
+    fresh = gen_documents(m, seed + 1)
+    texts = list(fresh["text"])
+    dup_idx = rng.choice(m, size=m * 30 // 100, replace=False)
+    srcs = rng.integers(0, n, size=len(dup_idx))
+    for j, s in zip(dup_idx, srcs):
+        texts[j] = corpus["text"].iloc[int(s)] + " tail"
+    return pd.DataFrame({
+        "doc_id": np.arange(n, n + m, dtype=np.int64),
+        "text": texts,
+    })
+
+
+def main() -> None:
+    from ctlp_spark.functions import dedup as D
+    from ctlp_spark.session import get_spark
+
+    spark = get_spark(app_name="ndinc_evidence", cpus=32,
+                      shuffle_partitions=32)
+    for n_docs in (100_000, 400_000):
+        tag = f"n{n_docs}"
+        d = os.path.join(ROOT, tag)
+        corpus_pdf = gen_documents(n_docs, seed=7)
+        inc_pdf = gen_increment(corpus_pdf, INC_M, seed=11)
+        write_parquet(corpus_pdf, os.path.join(d, "corpus.parquet"), DOC_SCHEMA)
+        write_parquet(inc_pdf, os.path.join(d, "inc.parquet"), DOC_SCHEMA)
+        corpus = spark.read.parquet(os.path.join(d, "corpus.parquet"))
+        inc = spark.read.parquet(os.path.join(d, "inc.parquet"))
+
+        man_path = os.path.join(d, "manifest")
+        shutil.rmtree(man_path, ignore_errors=True)
+        t0 = time.perf_counter()
+        man = D.neardup_manifest(corpus)
+        D.save_neardup_manifest(man, man_path)
+        boot = round(time.perf_counter() - t0, 2)
+        print(json.dumps({"n": n_docs, "phase": "bootstrap", "sec": boot}),
+              flush=True)
+
+        t0 = time.perf_counter()
+        loaded = D.load_neardup_manifest(spark, man_path)
+        out = D.neardup_increment(inc, loaded)
+        n_new_groups = out.where("is_new_group").count()
+        n_rows = out.count()
+        inc_sec = round(time.perf_counter() - t0, 2)
+        print(json.dumps({"n": n_docs, "phase": "increment", "sec": inc_sec,
+                          "rows": n_rows, "new_groups": n_new_groups}),
+              flush=True)
+        D.release_caches()
+
+        t0 = time.perf_counter()
+        full = D.neardup_groups(corpus.unionByName(inc))
+        full_rows = full.count()
+        rec_sec = round(time.perf_counter() - t0, 2)
+        print(json.dumps({"n": n_docs, "phase": "recompute", "sec": rec_sec,
+                          "rows": full_rows}), flush=True)
+        D.release_caches()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
