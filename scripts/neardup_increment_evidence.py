@@ -66,7 +66,8 @@ def main() -> None:
 
     spark = get_spark(app_name="ndinc_evidence", cpus=32,
                       shuffle_partitions=32)
-    for n_docs in (100_000, 400_000):
+    sizes = tuple(int(a) for a in sys.argv[1:]) or (100_000, 400_000)
+    for n_docs in sizes:
         tag = f"n{n_docs}"
         d = os.path.join(ROOT, tag)
         corpus_pdf = gen_documents(n_docs, seed=7)
