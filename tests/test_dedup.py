@@ -762,6 +762,46 @@ def test_neardup_manifest_merge_reproduces_bootstrap(spark, bucket_mode):
     assert got_f == want_f, f"features ({bucket_mode})"
 
 
+@pytest.mark.parametrize("bucket_mode", ["all_pairs", "chain"])
+def test_neardup_manifest_two_batch_sequence(spark, bucket_mode):
+    """The daily pipeline ITERATES: bootstrap → inc₁ → merge → inc₂ →
+    merge must equal bootstrap(corpus ∪ inc₁ ∪ inc₂) on a canonical-first
+    stream — in particular a batch-2 doc must join a group CREATED by
+    batch 1 (group state propagates through the first merge) and a group
+    grown by batch 1 must report its post-batch-2 size."""
+    corpus, inc1 = _nd_fixture(spark)
+    inc2 = spark.createDataFrame(
+        [
+            (200, _ND_BASE[3] + " epsilon"),  # near-dup of batch-1 group 101
+            (201, _ND_BASE[1] + " zeta"),     # near-dup of corpus group 2
+            (202, "grumpy wizards make toxic brew for the evil queen and jack"),
+        ],
+        "doc_id bigint, text string",
+    )
+    man = D.neardup_manifest(corpus, bucket_mode=bucket_mode)
+    d1 = D.neardup_increment(inc1, man, bucket_mode=bucket_mode)
+    man1 = D.merge_neardup_manifest(man, inc1, d1, bucket_mode=bucket_mode)
+    d2 = D.neardup_increment(inc2, man1, bucket_mode=bucket_mode)
+    got2 = {
+        r.doc_id: (r.group_id, r.group_size, r.is_canonical, r.is_new_group)
+        for r in d2.collect()
+    }
+    assert got2[200] == (101, 3, False, False), got2   # batch-1-born group
+    assert got2[201] == (2, 2, False, False), got2     # corpus-born group
+    assert got2[202] == (202, 1, True, True), got2     # fresh
+    man2 = D.merge_neardup_manifest(man1, inc2, d2, bucket_mode=bucket_mode)
+    want = D.neardup_manifest(
+        corpus.unionByName(inc1).unionByName(inc2), bucket_mode=bucket_mode
+    )
+    for part in ("assignments", "buckets"):
+        got_rows = sorted(map(tuple, man2[part].collect()))
+        want_rows = sorted(map(tuple, want[part].collect()))
+        assert got_rows == want_rows, f"{part} ({bucket_mode})"
+    got_f = {r.doc: sorted(r.sh60) for r in man2["features"].collect()}
+    want_f = {r.doc: sorted(r.sh60) for r in want["features"].collect()}
+    assert got_f == want_f, f"features ({bucket_mode})"
+
+
 def test_neardup_increment_chain_mode_on_exact_cluster(spark):
     """chain-mode manifest increment: identical-text docs verify against
     the bucket min, so the decision matches all_pairs exactly on
