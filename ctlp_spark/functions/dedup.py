@@ -559,6 +559,60 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_bucket_stats(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id",
+    text_col: str = "text", bands: DataFrame | None = None,
+) -> DataFrame:
+    """Bucket-size histogram of the banded LSH blocking relation — the
+    pre-flight diagnostic for choosing ``bucket_mode``: all_pairs
+    candidate volume is Σ over buckets of m·(m-1)/2, so a max bucket
+    size that grows with the corpus means the QUADRATIC regime
+    (measured in BASELINE.md: organic ~1,700-doc buckets at 1.6M
+    word-soup docs made candidates ×4 per ×2 corpus; chain mode
+    restored linearity at a 0.7% group-split recall cost).
+
+    Returns one row per observed bucket SIZE: (bucket_size, n_buckets,
+    pair_mass) ordered by size descending, where pair_mass is the
+    all_pairs candidate rows those buckets would emit. Two map-side-
+    combined groupBys over the band relation — O(docs × BANDS) rows, no
+    joins, no windows; cheap enough to run before every large dedup."""
+    if bands is None:
+        bands = band_rows(docs, n, id_col, text_col)
+    sizes = bands.groupBy("band_idx", "band_key").agg(
+        F.count("*").alias("m")
+    )
+    return (
+        sizes.groupBy("m").agg(F.count("*").alias("n_buckets"))
+        .select(
+            F.col("m").alias("bucket_size"),
+            "n_buckets",
+            (F.col("m") * (F.col("m") - F.lit(1)) / 2 * F.col("n_buckets"))
+            .cast("bigint")
+            .alias("pair_mass"),
+        )
+        .orderBy(F.desc("bucket_size"))
+    )
+
+
+def sql_lsh_bucket_stats(t: str = "documents", n: int = 3) -> str:
+    """DuckDB twin of lsh_bucket_stats (same minhash/band CTEs)."""
+    band_rows_sql = " UNION ALL ".join(
+        f"SELECT doc, {bi} AS band_idx, md5(concat_ws('_', "
+        + ", ".join(f"mh{bi * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+        + ")) AS band_key FROM sig"
+        for bi in range(BANDS)
+    )
+    return f"""
+WITH {_sql_minhash_cte(t, n)},
+bands AS ({band_rows_sql}),
+sizes AS (
+  SELECT band_idx, band_key, count(*) AS m FROM bands GROUP BY 1, 2
+)
+SELECT m AS bucket_size, count(*) AS n_buckets,
+       CAST(m * (m - 1) / 2 * count(*) AS BIGINT) AS pair_mass
+FROM sizes GROUP BY m ORDER BY bucket_size DESC"""
+
+
 def _sql_minhash_cte(t: str, n: int) -> str:
     mins = ", ".join(
         f"min((h * {a} + {b}) % {P}) AS mh{i}" for i, (a, b) in enumerate(HASH_AB)

@@ -509,6 +509,29 @@ def test_passage_dedup_duplicate_rows_match_duckdb(spark):
     assert by_doc[7][1:3] == (1, 1) and by_doc[7][3] == 0
 
 
+def test_lsh_bucket_stats_matches_duckdb_and_plan(spark):
+    """The pre-flight bucket-size histogram must match the DuckDB twin
+    on a real table (sf0.001 documents) and must stay two groupBys over
+    the band relation — no joins, no windows (it has to be runnable
+    BEFORE a dedup whose candidate stage might be quadratic)."""
+    import duckdb
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    stats = D.lsh_bucket_stats(docs)
+    got = sorted(map(tuple, stats.collect()))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    want = sorted(map(tuple, con.sql(D.sql_lsh_bucket_stats()).fetchall()))
+    assert got == want
+    # pair_mass must total the all_pairs candidate volume BEFORE distinct
+    plan = stats._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+
+
 def test_lsh_chain_candidates_linear_in_hot_cluster(spark):
     """An implanted 10^4-member exact-dup cluster must produce O(m)
     candidate rows in chain mode (m-1 after distinct) — the all_pairs
