@@ -1275,6 +1275,7 @@ def neardup_manifest(
     text_col: str = "text",
     bucket_mode: str = "all_pairs",
     driver_threshold: int = 20_000,
+    warn_bucket_size: int | None = 10_000,
 ) -> dict[str, DataFrame]:
     """Bootstrap the near-dup manifest from a corpus: the ``neardup_groups``
     decision (assignments), the LSH bucket state, and the feature store —
@@ -1289,8 +1290,35 @@ def neardup_manifest(
     materialize+reread offsets the saved pass — shingle/verify/feature
     passes dominate, not MinHash); kept for the shorter lineage and
     because both consumers now read one consistent materialized
-    relation."""
+    relation.
+
+    ``warn_bucket_size``: in all_pairs mode, after the (already
+    materialized) band relation is checkpointed, one tiny aggregation
+    reads back its max bucket size; at or above the threshold a
+    UserWarning suggests ``bucket_mode="chain"`` — the measured organic
+    mega-bucket regime where all_pairs candidates grow quadratically
+    (BASELINE.md). None disables the check."""
     bands = band_rows(docs, n, id_col, text_col).localCheckpoint()
+    if bucket_mode == "all_pairs" and warn_bucket_size is not None:
+        row = (
+            bands.groupBy("band_idx", "band_key")
+            .count()
+            .agg(F.max("count"))
+            .first()
+        )
+        max_bucket = row[0] or 0
+        if max_bucket >= warn_bucket_size:
+            import warnings
+
+            warnings.warn(
+                f"neardup_manifest: largest LSH band bucket holds "
+                f"{max_bucket} docs (>= {warn_bucket_size}); all_pairs "
+                f"candidate generation is quadratic in bucket size — "
+                f"consider bucket_mode='chain' (O(m) per bucket, recall "
+                f"contract in lsh_candidate_pairs) or inspect "
+                f"lsh_bucket_stats(docs) before proceeding",
+                stacklevel=2,
+            )
     assignments = neardup_groups(
         docs, n, threshold_ppm, id_col, text_col,
         bucket_mode=bucket_mode, driver_threshold=driver_threshold,

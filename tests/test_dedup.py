@@ -509,6 +509,25 @@ def test_passage_dedup_duplicate_rows_match_duckdb(spark):
     assert by_doc[7][1:3] == (1, 1) and by_doc[7][3] == 0
 
 
+def test_neardup_manifest_warns_on_hot_bucket(spark):
+    """all_pairs bootstrap must warn when a band bucket reaches
+    warn_bucket_size (identical-text docs share every band key, so 30
+    copies = a 30-doc bucket) and stay silent below it / in chain mode."""
+    import warnings
+
+    corpus = spark.createDataFrame(
+        [(i, _ND_BASE[0]) for i in range(30)] + [(100, _ND_BASE[1])],
+        "doc_id bigint, text string",
+    )
+    with pytest.warns(UserWarning, match="bucket_mode='chain'"):
+        D.neardup_manifest(corpus, warn_bucket_size=30)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        D.neardup_manifest(corpus, warn_bucket_size=31)
+        D.neardup_manifest(corpus, bucket_mode="chain", warn_bucket_size=1)
+        D.neardup_manifest(corpus, warn_bucket_size=None)
+
+
 def test_lsh_bucket_stats_matches_duckdb_and_plan(spark):
     """The pre-flight bucket-size histogram must match the DuckDB twin
     on a real table (sf0.001 documents) and must stay two groupBys over
