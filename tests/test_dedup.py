@@ -509,6 +509,52 @@ def test_passage_dedup_duplicate_rows_match_duckdb(spark):
     assert by_doc[7][1:3] == (1, 1) and by_doc[7][3] == 0
 
 
+@pytest.mark.parametrize("seed", [41, 42])
+def test_neardup_increment_fuzz_matches_recompute(spark, seed):
+    """Randomized canonical-first corpora (word-soup + ~25% appended-token
+    dup chains): a 60-doc batch decided against the bootstrapped manifest
+    must equal the whole-corpus recompute restricted to the batch —
+    labels, post-increment sizes, canonical flags — beyond the handpicked
+    fixture texts. Seeds are deterministic; random independent docs are
+    never near-dups at vocab 400 / length 8-20, so the canonical-first
+    no-bridge precondition holds by construction."""
+    import random as _random
+
+    rng = _random.Random(seed)
+    vocab = [f"w{i}" for i in range(400)]
+
+    def fresh() -> str:
+        return " ".join(
+            rng.choice(vocab) for _ in range(rng.randint(8, 20))
+        )
+
+    n_corpus, n_batch = 160, 60
+    texts: list[str] = []
+    for _ in range(n_corpus + n_batch):
+        if texts and rng.random() < 0.25:
+            texts.append(texts[rng.randrange(len(texts))] + " " + rng.choice(vocab))
+        else:
+            texts.append(fresh())
+    rows = list(enumerate(texts))
+    corpus = spark.createDataFrame(
+        rows[:n_corpus], "doc_id bigint, text string"
+    )
+    batch = spark.createDataFrame(
+        rows[n_corpus:], "doc_id bigint, text string"
+    )
+    man = D.neardup_manifest(corpus)
+    got = {
+        r.doc_id: (r.group_id, r.group_size, r.is_canonical)
+        for r in D.neardup_increment(batch, man).collect()
+    }
+    want = {
+        r.doc_id: (r.group_id, r.group_size, r.is_canonical)
+        for r in D.neardup_groups(corpus.unionByName(batch)).collect()
+        if r.doc_id >= n_corpus
+    }
+    assert got == want, f"seed {seed}"
+
+
 def test_neardup_manifest_warns_on_hot_bucket(spark):
     """all_pairs bootstrap must warn when a band bucket reaches
     warn_bucket_size (identical-text docs share every band key, so 30
