@@ -578,9 +578,13 @@ def lsh_bucket_stats(
     joins, no windows; cheap enough to run before every large dedup."""
     if bands is None:
         bands = band_rows(docs, n, id_col, text_col)
-    sizes = bands.groupBy("band_idx", "band_key").agg(
-        F.count("*").alias("m")
-    )
+    return _bucket_histogram(bands, ["band_idx", "band_key"])
+
+
+def _bucket_histogram(keyed: DataFrame, key_cols: list[str]) -> DataFrame:
+    """(bucket_size, n_buckets, pair_mass) over any blocking relation —
+    two map-side-combined groupBys, no joins."""
+    sizes = keyed.groupBy(*key_cols).agg(F.count("*").alias("m"))
     return (
         sizes.groupBy("m").agg(F.count("*").alias("n_buckets"))
         .select(
@@ -592,6 +596,58 @@ def lsh_bucket_stats(
         )
         .orderBy(F.desc("bucket_size"))
     )
+
+
+def simhash_bucket_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    kernel: str = "arrow",
+) -> DataFrame:
+    """:func:`lsh_bucket_stats` for the simhash 16-bit chunk space — the
+    MOST quadratic-exposed blocking key in the family because the key
+    space is BOUNDED (65,536 values per chunk): bucket membership grows
+    ∝ corpus even for fully random docs, so the all_pairs chunk join is
+    quadratic by construction. Measured (BASELINE.md): at 400k word-soup
+    docs the all_pairs join would materialize ~1.05e9 rows (top chunks
+    hold ~12k docs) and did not complete in 10 min, while chain mode
+    stays linear. Run this before ``simhash_near_pairs`` at scale."""
+    sig = simhash(docs, id_col, text_col, kernel=kernel)
+    chunk_bits = SIMHASH_BITS // SIM_BANDS
+    mask = (1 << chunk_bits) - 1
+    chunks = sig.select(
+        "doc",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(ci).alias("chunk_idx"),
+                    F.shiftright(F.col("simhash"), ci * chunk_bits)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("chunk"),
+                )
+                for ci in range(SIM_BANDS)
+            ])
+        ).alias("c"),
+    ).select("doc", "c.chunk_idx", "c.chunk")
+    return _bucket_histogram(chunks, ["chunk_idx", "chunk"])
+
+
+def sql_simhash_bucket_stats(t: str = "documents") -> str:
+    """DuckDB twin of simhash_bucket_stats (same simhash CTE)."""
+    chunk_bits = SIMHASH_BITS // SIM_BANDS
+    mask = (1 << chunk_bits) - 1
+    chunk_rows = " UNION ALL ".join(
+        f"SELECT doc, {ci} AS chunk_idx, "
+        f"(simhash >> {ci * chunk_bits}) & {mask} AS chunk FROM sig"
+        for ci in range(SIM_BANDS)
+    )
+    return f"""
+WITH sig AS ({sql_simhash(t)}),
+chunks AS ({chunk_rows}),
+sizes AS (
+  SELECT chunk_idx, chunk, count(*) AS m FROM chunks GROUP BY 1, 2
+)
+SELECT m AS bucket_size, count(*) AS n_buckets,
+       CAST(m * (m - 1) / 2 * count(*) AS BIGINT) AS pair_mass
+FROM sizes GROUP BY m ORDER BY bucket_size DESC"""
 
 
 def sql_lsh_bucket_stats(t: str = "documents", n: int = 3) -> str:

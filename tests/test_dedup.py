@@ -596,6 +596,17 @@ def test_lsh_bucket_stats_matches_duckdb_and_plan(spark):
     assert "Join" not in plan, plan
     assert "Window" not in plan, plan
 
+    # the simhash twin (the bounded 16-bit key space — the most
+    # quadratic-exposed blocking key; see BASELINE.md)
+    sim_stats = D.simhash_bucket_stats(docs)
+    got_s = sorted(map(tuple, sim_stats.collect()))
+    want_s = sorted(
+        map(tuple, con.sql(D.sql_simhash_bucket_stats()).fetchall())
+    )
+    assert got_s == want_s
+    sim_plan = sim_stats._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in sim_plan, sim_plan
+
 
 def test_lsh_chain_candidates_linear_in_hot_cluster(spark):
     """An implanted 10^4-member exact-dup cluster must produce O(m)
