@@ -583,38 +583,34 @@ def lsh_bucket_stats(
 
 def _bucket_histogram(keyed: DataFrame, key_cols: list[str]) -> DataFrame:
     """(bucket_size, n_buckets, pair_mass) over any blocking relation —
-    two map-side-combined groupBys, no joins."""
+    two map-side-combined groupBys, no joins. pair_mass stays in INTEGER
+    arithmetic end to end (m·(m-1) is even, so DIV 2 is exact): a
+    float-division spelling loses exactness past 2^53 and Spark's
+    double→bigint cast truncates where DuckDB's rounds — a cross-engine
+    divergence exactly in the mega-bucket regime this diagnostic
+    exists for."""
     sizes = keyed.groupBy(*key_cols).agg(F.count("*").alias("m"))
     return (
         sizes.groupBy("m").agg(F.count("*").alias("n_buckets"))
         .select(
             F.col("m").alias("bucket_size"),
             "n_buckets",
-            (F.col("m") * (F.col("m") - F.lit(1)) / 2 * F.col("n_buckets"))
-            .cast("bigint")
-            .alias("pair_mass"),
+            F.expr("m * (m - 1) DIV 2 * n_buckets").alias("pair_mass"),
         )
         .orderBy(F.desc("bucket_size"))
     )
 
 
-def simhash_bucket_stats(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    kernel: str = "arrow",
-) -> DataFrame:
-    """:func:`lsh_bucket_stats` for the simhash 16-bit chunk space — the
-    MOST quadratic-exposed blocking key in the family because the key
-    space is BOUNDED (65,536 values per chunk): bucket membership grows
-    ∝ corpus even for fully random docs, so the all_pairs chunk join is
-    quadratic by construction. Measured (BASELINE.md): at 400k word-soup
-    docs the all_pairs join would materialize ~1.05e9 rows (top chunks
-    hold ~12k docs) and did not complete in 10 min, while chain mode
-    stays linear. Run this before ``simhash_near_pairs`` at scale."""
-    sig = simhash(docs, id_col, text_col, kernel=kernel)
+def _simhash_chunks(sig: DataFrame, with_sig: bool) -> DataFrame:
+    """Explode a simhash signature relation into its 16-bit chunk
+    blocking rows — THE relation both the near-pairs join and the
+    bucket diagnostic describe; shared so the histogram can never
+    drift from the join it predicts."""
     chunk_bits = SIMHASH_BITS // SIM_BANDS
     mask = (1 << chunk_bits) - 1
-    chunks = sig.select(
-        "doc",
+    keep = ["doc", "simhash"] if with_sig else ["doc"]
+    return sig.select(
+        *keep,
         F.explode(
             F.array(*[
                 F.struct(
@@ -626,46 +622,67 @@ def simhash_bucket_stats(
                 for ci in range(SIM_BANDS)
             ])
         ).alias("c"),
-    ).select("doc", "c.chunk_idx", "c.chunk")
-    return _bucket_histogram(chunks, ["chunk_idx", "chunk"])
+    ).select(*keep, "c.chunk_idx", "c.chunk")
+
+
+def simhash_bucket_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    kernel: str = "arrow", sig: DataFrame | None = None,
+) -> DataFrame:
+    """:func:`lsh_bucket_stats` for the simhash 16-bit chunk space — the
+    MOST quadratic-exposed blocking key in the family because the key
+    space is BOUNDED (65,536 values per chunk): bucket membership grows
+    ∝ corpus even for fully random docs, so the all_pairs chunk join is
+    quadratic by construction. Measured (BASELINE.md): at 400k word-soup
+    docs the all_pairs join would materialize ~1.05e9 rows (top chunks
+    hold ~12k docs) and did not complete in 10 min, while chain mode
+    stays linear. Run this before ``simhash_near_pairs`` at scale —
+    passing the same (checkpointed) ``sig`` relation to both avoids
+    running the simhash kernel twice."""
+    if sig is None:
+        sig = simhash(docs, id_col, text_col, kernel=kernel)
+    return _bucket_histogram(
+        _simhash_chunks(sig, with_sig=False), ["chunk_idx", "chunk"]
+    )
+
+
+def _sql_simhash_chunks(with_sig: bool) -> str:
+    """The ``chunks`` relation body over ``sig`` — shared by the
+    near-pairs twin and the bucket-stats twin (the SQL mirror of
+    :func:`_simhash_chunks`)."""
+    chunk_bits = SIMHASH_BITS // SIM_BANDS
+    mask = (1 << chunk_bits) - 1
+    keep = "doc, simhash, " if with_sig else "doc, "
+    return " UNION ALL ".join(
+        f"SELECT {keep}{ci} AS chunk_idx, "
+        f"(simhash >> {ci * chunk_bits}) & {mask} AS chunk FROM sig"
+        for ci in range(SIM_BANDS)
+    )
 
 
 def sql_simhash_bucket_stats(t: str = "documents") -> str:
     """DuckDB twin of simhash_bucket_stats (same simhash CTE)."""
-    chunk_bits = SIMHASH_BITS // SIM_BANDS
-    mask = (1 << chunk_bits) - 1
-    chunk_rows = " UNION ALL ".join(
-        f"SELECT doc, {ci} AS chunk_idx, "
-        f"(simhash >> {ci * chunk_bits}) & {mask} AS chunk FROM sig"
-        for ci in range(SIM_BANDS)
-    )
     return f"""
 WITH sig AS ({sql_simhash(t)}),
-chunks AS ({chunk_rows}),
+chunks AS ({_sql_simhash_chunks(with_sig=False)}),
 sizes AS (
   SELECT chunk_idx, chunk, count(*) AS m FROM chunks GROUP BY 1, 2
 )
 SELECT m AS bucket_size, count(*) AS n_buckets,
-       CAST(m * (m - 1) / 2 * count(*) AS BIGINT) AS pair_mass
+       m * (m - 1) // 2 * count(*) AS pair_mass
 FROM sizes GROUP BY m ORDER BY bucket_size DESC"""
 
 
 def sql_lsh_bucket_stats(t: str = "documents", n: int = 3) -> str:
     """DuckDB twin of lsh_bucket_stats (same minhash/band CTEs)."""
-    band_rows_sql = " UNION ALL ".join(
-        f"SELECT doc, {bi} AS band_idx, md5(concat_ws('_', "
-        + ", ".join(f"mh{bi * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
-        + ")) AS band_key FROM sig"
-        for bi in range(BANDS)
-    )
     return f"""
 WITH {_sql_minhash_cte(t, n)},
-bands AS ({band_rows_sql}),
+bands AS ({_sql_band_rows()}),
 sizes AS (
   SELECT band_idx, band_key, count(*) AS m FROM bands GROUP BY 1, 2
 )
 SELECT m AS bucket_size, count(*) AS n_buckets,
-       CAST(m * (m - 1) / 2 * count(*) AS BIGINT) AS pair_mass
+       m * (m - 1) // 2 * count(*) AS pair_mass
 FROM sizes GROUP BY m ORDER BY bucket_size DESC"""
 
 
@@ -686,16 +703,23 @@ def sql_minhash_signatures(t: str = "documents", n: int = 3) -> str:
     return f"WITH {_sql_minhash_cte(t, n)} SELECT doc, {cols} FROM sig"
 
 
-def sql_lsh_candidate_pairs(t: str = "documents", n: int = 3) -> str:
-    band_rows = " UNION ALL ".join(
+def _sql_band_rows() -> str:
+    """The ``bands`` relation body over ``sig`` — ONE definition shared
+    by the candidate-pair twins and the bucket-stats twin, so the
+    diagnostic can never describe different buckets than the join it
+    predicts."""
+    return " UNION ALL ".join(
         f"SELECT doc, {bi} AS band_idx, md5(concat_ws('_', "
         + ", ".join(f"mh{bi * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
         + ")) AS band_key FROM sig"
         for bi in range(BANDS)
     )
+
+
+def sql_lsh_candidate_pairs(t: str = "documents", n: int = 3) -> str:
     return f"""
 WITH {_sql_minhash_cte(t, n)},
-bands AS ({band_rows})
+bands AS ({_sql_band_rows()})
 SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
 FROM bands x JOIN bands y USING (band_idx, band_key)
 WHERE x.doc < y.doc"""
@@ -828,7 +852,7 @@ SELECT doc, {bits} AS simhash FROM agg"""
 def simhash_near_pairs(
     docs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id",
     text_col: str = "text", kernel: str = "arrow",
-    bucket_mode: str = "all_pairs",
+    bucket_mode: str = "all_pairs", sig: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming, found via banded
     16-bit-chunk equality join (a pair within hamming 3 must agree on at
@@ -843,24 +867,9 @@ def simhash_near_pairs(
     candidates instead of O(m²). For hamming 0 clusters chain is
     lossless through a downstream connected-components decision; the
     default stays the exact pigeonhole candidate set."""
-    sig = simhash(docs, id_col, text_col, kernel=kernel)
-    chunk_bits = SIMHASH_BITS // SIM_BANDS
-    mask = (1 << chunk_bits) - 1
-    chunks = sig.select(
-        "doc",
-        "simhash",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(ci).alias("chunk_idx"),
-                    F.shiftright(F.col("simhash"), ci * chunk_bits)
-                    .bitwiseAND(F.lit(mask))
-                    .alias("chunk"),
-                )
-                for ci in range(SIM_BANDS)
-            ])
-        ).alias("c"),
-    ).select("doc", "simhash", "c.chunk_idx", "c.chunk")
+    if sig is None:
+        sig = simhash(docs, id_col, text_col, kernel=kernel)
+    chunks = _simhash_chunks(sig, with_sig=True)
     if bucket_mode == "chain":
         mins = chunks.groupBy("chunk_idx", "chunk").agg(
             F.min(F.struct("doc", "simhash")).alias("_m")
@@ -898,16 +907,9 @@ def simhash_near_pairs(
 
 
 def sql_simhash_near_pairs(t: str = "documents", max_hamming: int = 3) -> str:
-    chunk_bits = SIMHASH_BITS // SIM_BANDS
-    mask = (1 << chunk_bits) - 1
-    base = sql_simhash(t)
-    chunk_rows = " UNION ALL ".join(
-        f"SELECT doc, simhash, {ci} AS chunk_idx, (simhash >> {ci * chunk_bits}) & {mask} AS chunk FROM sig"
-        for ci in range(SIM_BANDS)
-    )
     return f"""
-WITH sig AS ({base}),
-chunks AS ({chunk_rows}),
+WITH sig AS ({sql_simhash(t)}),
+chunks AS ({_sql_simhash_chunks(with_sig=True)}),
 cand AS (
   SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b,
          x.simhash AS sig_a, y.simhash AS sig_b
@@ -1241,14 +1243,8 @@ def neardup_pipeline(
 def _sql_neardup_ctes(t: str, n: int) -> str:
     """CTE list producing ``verified`` (LSH candidates with exact
     inter/union) — shared by the d7 twin and the d8 recursive-CTE twin."""
-    band_rows = " UNION ALL ".join(
-        f"SELECT doc, {bi} AS band_idx, md5(concat_ws('_', "
-        + ", ".join(f"mh{bi * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
-        + ")) AS band_key FROM sig"
-        for bi in range(BANDS)
-    )
     return f"""{_sql_minhash_cte(t, n)},
-bands AS ({band_rows}),
+bands AS ({_sql_band_rows()}),
 cand AS (
   SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
   FROM bands x JOIN bands y USING (band_idx, band_key)

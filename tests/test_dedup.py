@@ -567,11 +567,16 @@ def test_neardup_manifest_warns_on_hot_bucket(spark):
     )
     with pytest.warns(UserWarning, match="bucket_mode='chain'"):
         D.neardup_manifest(corpus, warn_bucket_size=30)
-    with warnings.catch_warnings():
-        warnings.simplefilter("error")
+    # silent paths: only the manifest's own hot-bucket warning matters —
+    # a blanket simplefilter("error") would fail on unrelated library
+    # warnings from the three full Spark pipelines below
+    with warnings.catch_warnings(record=True) as seen:
+        warnings.simplefilter("always")
         D.neardup_manifest(corpus, warn_bucket_size=31)
         D.neardup_manifest(corpus, bucket_mode="chain", warn_bucket_size=1)
         D.neardup_manifest(corpus, warn_bucket_size=None)
+    hot = [w for w in seen if "LSH band bucket" in str(w.message)]
+    assert hot == [], hot
 
 
 def test_lsh_bucket_stats_matches_duckdb_and_plan(spark):
@@ -591,7 +596,17 @@ def test_lsh_bucket_stats_matches_duckdb_and_plan(spark):
     )
     want = sorted(map(tuple, con.sql(D.sql_lsh_bucket_stats()).fetchall()))
     assert got == want
-    # pair_mass must total the all_pairs candidate volume BEFORE distinct
+    # pair_mass semantics: Σ pair_mass == the all_pairs bucket self-join
+    # row count BEFORE distinct (the cross-engine pin alone can't catch a
+    # wrong shared formula)
+    bands = D.band_rows(docs)
+    join_rows = (
+        bands.alias("x")
+        .join(bands.alias("y"), on=["band_idx", "band_key"])
+        .where(F.col("x.doc") < F.col("y.doc"))
+        .count()
+    )
+    assert sum(r[2] for r in got) == join_rows
     plan = stats._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, plan
     assert "Window" not in plan, plan
