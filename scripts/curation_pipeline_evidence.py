@@ -1,0 +1,183 @@
+"""One curated ingest DAY, end to end — the composition evidence for the
+round-5 persist-and-increment families (exact-dedup fingerprint manifest,
+near-dup manifest in chain mode, decontamination, curation verdict,
+token-budget shard export), chained the way a daily 100 TB pipeline
+would run them:
+
+  day 0  bootstrap both manifests from the corpus (one-time, chain mode
+         per the BASELINE.md quadratic-regime findings)
+  daily  batch → exact-dup decision (fp manifest) → near-dup decision
+         (nd manifest) → decontaminate vs a held-out benchmark →
+         quality/lang curation → sharded training export →
+         merge both manifests (the day-2 state)
+
+The corpus is NEVER re-read after day 0 — every daily stage joins the
+batch against persisted state or broadcasts a small relation. Stage
+timings + row funnels print as one JSON line per stage; results are
+recorded in BASELINE.md.
+
+The 10k-doc batch is adversarially mixed: 1,500 exact dups of corpus
+docs, 250 within-batch dup pairs, 1,500 near-dups (appended token),
+50 benchmark-contaminated docs, 100 low-quality junk docs, the rest
+fresh — so every stage has real work and the funnel counts are
+meaningful.
+
+Run it ALONE (never concurrently with tests/bench — CLAUDE.md bench
+discipline):  python scripts/curation_pipeline_evidence.py [n_corpus]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/scripts")
+
+from scale_evidence import DOC_SCHEMA, gen_documents, write_parquet  # noqa: E402
+
+ROOT = "/tmp/ctlp_curation"
+BATCH_M = 10_000
+
+
+def gen_benchmark(m: int, seed: int) -> pd.DataFrame:
+    """Held-out eval docs over a DISTINCT vocab — a real benchmark is
+    textually disjoint from the corpus, so only the implanted
+    contaminated docs share shingles with it (the first cut of this
+    script reused the corpus vocab and decontamination flagged ~85% of
+    the batch through chance 3-gram overlap on 28 shared words)."""
+    rng = np.random.default_rng(seed)
+    vocab = np.array([f"bench{i}" for i in range(40)])
+    lengths = rng.integers(10, 30, size=m)
+    return pd.DataFrame({
+        "doc_id": np.arange(10_000_000, 10_000_000 + m, dtype=np.int64),
+        "text": [" ".join(rng.choice(vocab, size=k).tolist()) for k in lengths],
+    })
+
+
+def gen_batch(corpus: pd.DataFrame, bench: pd.DataFrame, seed: int) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    n = len(corpus)
+    fresh = gen_documents(BATCH_M, seed + 1)
+    texts = list(fresh["text"])
+    # 1,500 exact dups of corpus docs
+    idx = rng.choice(BATCH_M, size=3400, replace=False)
+    for j in idx[:1500]:
+        texts[j] = corpus["text"].iloc[int(rng.integers(0, n))]
+    # 250 within-batch dup pairs (500 docs)
+    for k in range(250):
+        a, b = idx[1500 + 2 * k], idx[1500 + 2 * k + 1]
+        texts[b] = texts[a]
+    # 1,500 near-dups: corpus doc + one appended token
+    for j in idx[2000:3500 - 100 - 50]:
+        texts[j] = corpus["text"].iloc[int(rng.integers(0, n))] + " extra"
+    # 50 contaminated: fresh doc + a benchmark doc's text
+    for k, j in enumerate(idx[3350:3400]):
+        texts[j] = texts[j] + " " + bench["text"].iloc[k % len(bench)]
+    # 100 UNIQUE junk docs that fail the quality gate (identical junk
+    # would be eaten by the exact-dedup stage instead)
+    junk = rng.choice(
+        [i for i in range(BATCH_M) if i not in set(idx)], size=100,
+        replace=False,
+    )
+    for k, j in enumerate(junk):
+        texts[j] = f"zz zz zz zq{k}"
+    return pd.DataFrame({
+        "doc_id": np.arange(n, n + BATCH_M, dtype=np.int64),
+        "text": texts,
+    })
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from ctlp_spark.functions import curate as C
+    from ctlp_spark.functions import dedup as D
+    from ctlp_spark.functions import export as E
+    from ctlp_spark.session import get_spark
+
+    n_corpus = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
+    spark = get_spark(app_name="curation_pipeline", cpus=32,
+                      shuffle_partitions=32)
+    shutil.rmtree(ROOT, ignore_errors=True)
+    corpus_pdf = gen_documents(n_corpus, seed=7)
+    bench_pdf = gen_benchmark(100, seed=99)
+    batch_pdf = gen_batch(corpus_pdf, bench_pdf, seed=11)
+    write_parquet(corpus_pdf, f"{ROOT}/corpus.parquet", DOC_SCHEMA)
+    write_parquet(bench_pdf, f"{ROOT}/bench.parquet", DOC_SCHEMA)
+    write_parquet(batch_pdf, f"{ROOT}/batch.parquet", DOC_SCHEMA)
+    corpus = spark.read.parquet(f"{ROOT}/corpus.parquet")
+    benchmark = spark.read.parquet(f"{ROOT}/bench.parquet")
+    batch = spark.read.parquet(f"{ROOT}/batch.parquet")
+
+    def stage(name, t0, **kw):
+        print(json.dumps({"stage": name,
+                          "sec": round(time.perf_counter() - t0, 2), **kw}),
+              flush=True)
+
+    # ---- day 0: bootstrap persisted state (one-time) -------------------
+    t0 = time.perf_counter()
+    fp_man = D.exact_dedup_manifest(corpus)
+    fp_man.write.mode("overwrite").parquet(f"{ROOT}/fp_manifest")
+    nd_man = D.neardup_manifest(corpus, bucket_mode="chain")
+    D.save_neardup_manifest(nd_man, f"{ROOT}/nd_manifest")
+    stage("bootstrap", t0, corpus=n_corpus)
+
+    # ---- daily batch ----------------------------------------------------
+    fp_man = spark.read.parquet(f"{ROOT}/fp_manifest")
+    nd_man = D.load_neardup_manifest(spark, f"{ROOT}/nd_manifest")
+
+    t0 = time.perf_counter()
+    exact = D.exact_dedup_increment(batch, fp_man)
+    keep1 = batch.join(
+        exact.where("is_canonical AND is_new_fp").select("doc_id"), "doc_id"
+    ).localCheckpoint()
+    stage("exact_dedup", t0, rows_in=batch.count(), rows_out=keep1.count())
+
+    t0 = time.perf_counter()
+    nd = D.neardup_increment(keep1, nd_man, bucket_mode="chain")
+    keep2 = keep1.join(
+        nd.where("is_canonical").select("doc_id"), "doc_id"
+    ).localCheckpoint()
+    stage("neardup", t0, rows_out=keep2.count())
+
+    t0 = time.perf_counter()
+    dec = D.decontaminate(keep2, benchmark)
+    keep3 = keep2.join(
+        dec.where("NOT contaminated").select("doc_id"), "doc_id"
+    ).localCheckpoint()
+    stage("decontaminate", t0, rows_out=keep3.count())
+
+    t0 = time.perf_counter()
+    # word-soup scores ~41% "und" — a real corpus tunes these gates; the
+    # demo allows und and sets the quality bar under the corpus median
+    # so the funnel reflects the implanted junk, not the generator
+    cur = C.curate(keep3, min_quality_ppm=300_000,
+                   allowed_langs=("en", "und"))
+    keep4 = keep3.join(cur.where("keep").select("doc_id"), "doc_id") \
+        .localCheckpoint()
+    stage("curate", t0, rows_out=keep4.count())
+
+    t0 = time.perf_counter()
+    manifest = E.write_training_shards(keep4, f"{ROOT}/export")
+    stage("export", t0, shards=len(manifest["shards"]),
+          tokens=manifest["total_tokens"])
+
+    t0 = time.perf_counter()
+    fp2 = D.merge_dedup_manifest(fp_man, batch)
+    fp2.write.mode("overwrite").parquet(f"{ROOT}/fp_manifest_d2")
+    nd2 = D.merge_neardup_manifest(nd_man, keep1, nd, bucket_mode="chain")
+    D.save_neardup_manifest(nd2, f"{ROOT}/nd_manifest_d2")
+    stage("merge_state", t0,
+          fp_rows=spark.read.parquet(f"{ROOT}/fp_manifest_d2").count())
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
