@@ -459,21 +459,58 @@ def q_d11_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_d4_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded-LSH candidate pairs (3 bands × 4 rows) — the linear-time
-    blocking step that replaces the quadratic self-join at scale."""
+    """Banded-LSH blocking, candidate pairs ⊕ bucket diagnostics as one
+    tagged union (50-query cap — the d1 pattern): 'cand' rows are the
+    linear-time candidate pairs; 'stats' rows are the pre-flight
+    bucket-size histogram (`lsh_bucket_stats`) that detects the
+    quadratic all_pairs regime BEFORE a large dedup runs (BASELINE.md:
+    organic mega-buckets at 1.6M docs). One shared band relation feeds
+    both arms. v3 is -1 (not NULL) on 'cand' rows — the driver hash
+    canonicalization dislikes nullable columns."""
     from ctlp_spark.functions import dedup as D
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return D.lsh_candidate_pairs(docs)
+    bands = D.band_rows(docs)
+    cand = D.lsh_candidate_pairs(docs, bands=bands).select(
+        F.lit("cand").alias("part"),
+        F.col("doc_a").alias("v1"),
+        F.col("doc_b").alias("v2"),
+        F.lit(-1).cast("bigint").alias("v3"),
+    )
+    stats = D.lsh_bucket_stats(docs, bands=bands).select(
+        F.lit("stats").alias("part"),
+        F.col("bucket_size").alias("v1"),
+        F.col("n_buckets").alias("v2"),
+        F.col("pair_mass").alias("v3"),
+    )
+    return cand.unionByName(stats)
 
 
 def q_d6_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 16-bit-chunk banding then exact hamming ≤ 3
-    (pigeonhole-exact; selective 65536-value chunk keys)."""
+    """SimHash near-dups ⊕ chunk-space diagnostics as one tagged union:
+    'pairs' rows are exact hamming ≤ 3 near-dups via 16-bit-chunk
+    banding (pigeonhole-exact; v3 = hamming); 'stats' rows are the
+    chunk bucket histogram (`simhash_bucket_stats`) — the bounded
+    65,536-value key space is quadratic by construction at corpus scale
+    (BASELINE.md), so the diagnostic rides along. One shared signature
+    relation feeds both arms."""
     from ctlp_spark.functions import dedup as D
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return D.simhash_near_pairs(docs)
+    sig = D.simhash(docs)
+    pairs = D.simhash_near_pairs(docs, sig=sig).select(
+        F.lit("pairs").alias("part"),
+        F.col("doc_a").alias("v1"),
+        F.col("doc_b").alias("v2"),
+        F.col("hamming").alias("v3"),
+    )
+    stats = D.simhash_bucket_stats(docs, sig=sig).select(
+        F.lit("stats").alias("part"),
+        F.col("bucket_size").alias("v1"),
+        F.col("n_buckets").alias("v2"),
+        F.col("pair_mass").alias("v3"),
+    )
+    return pairs.unionByName(stats)
 
 
 def q_d7_neardup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -899,8 +936,22 @@ def _dedup_sql(kind: str) -> str:
     return {
         "exact": D.sql_exact_dedup_with_increment(),
         "jaccard": D.sql_ngram_jaccard_pairs(),
-        "lsh": D.sql_lsh_candidate_pairs(),
-        "simhash_near": D.sql_simhash_near_pairs(),
+        "lsh": (
+            "SELECT 'cand' AS part, doc_a AS v1, doc_b AS v2, "
+            "CAST(-1 AS BIGINT) AS v3 "
+            f"FROM ({D.sql_lsh_candidate_pairs()})\n"
+            "UNION ALL\n"
+            "SELECT 'stats' AS part, bucket_size AS v1, n_buckets AS v2, "
+            f"pair_mass AS v3 FROM ({D.sql_lsh_bucket_stats()})"
+        ),
+        "simhash_near": (
+            "SELECT 'pairs' AS part, doc_a AS v1, doc_b AS v2, "
+            "hamming AS v3 "
+            f"FROM ({D.sql_simhash_near_pairs()})\n"
+            "UNION ALL\n"
+            "SELECT 'stats' AS part, bucket_size AS v1, n_buckets AS v2, "
+            f"pair_mass AS v3 FROM ({D.sql_simhash_bucket_stats()})"
+        ),
         "neardup_pipeline": D.sql_neardup_pipeline(),
         "neardup_groups": D.sql_neardup_groups_with_increment(),
         "passage": D.sql_passage_dedup(),
