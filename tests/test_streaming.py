@@ -346,13 +346,18 @@ def test_dedup_within_watermark_drops_cross_batch_duplicates(spark, tmp_path):
         ("turn_idx", pa.int64()),
         ("ts", pa.timestamp("us")),
     ])
-    def _write(part, name):
+    def _write(part, name, order):
         pq.write_table(
             pa.Table.from_pandas(part, preserve_index=False).cast(schema),
             str(src / name),
         )
-    _write(rows.iloc[:35], "f0.parquet")
-    _write(rows.iloc[20:], "f1.parquet")
+        # pin strictly-ascending mtimes: Spark's file source orders by
+        # modification time and ties fall back to listing order — the
+        # redelivery semantics below need f0 to arrive first
+        t = 1_700_000_000 + order
+        os.utime(str(src / name), (t, t))
+    _write(rows.iloc[:35], "f0.parquet", 0)
+    _write(rows.iloc[20:], "f1.parquet", 1)
 
     out = str(tmp_path / "dedup_out")
     stream = (

@@ -26,7 +26,14 @@ def _write_doc(src: str, doc_id: int, text: str | None) -> None:
         {"doc_id": pa.array([doc_id], pa.int64()),
          "text": pa.array([text], pa.string())},
     )
-    pq.write_table(tbl, os.path.join(src, f"doc-{doc_id:04d}.parquet"))
+    path = os.path.join(src, f"doc-{doc_id:04d}.parquet")
+    pq.write_table(tbl, path)
+    # Spark's file source orders by MODIFICATION TIME, and fast
+    # consecutive writes can tie — leaving arrival order to the
+    # directory-listing order (a rare suite flake that reorders
+    # "ascending-id arrival"). Pin strictly-ascending mtimes.
+    t = 1_700_000_000 + doc_id
+    os.utime(path, (t, t))
 
 
 @pytest.fixture()

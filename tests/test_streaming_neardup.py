@@ -37,7 +37,12 @@ def _write_doc(src: str, doc_id: int, text: str) -> None:
                       "text": [text]}),
         preserve_index=False,
     )
-    pq.write_table(tbl, os.path.join(src, f"doc-{doc_id:04d}.parquet"))
+    path = os.path.join(src, f"doc-{doc_id:04d}.parquet")
+    pq.write_table(tbl, path)
+    # pin strictly-ascending mtimes: Spark's file source orders by
+    # modification time and ties fall back to listing order (flake)
+    t = 1_700_000_000 + doc_id
+    os.utime(path, (t, t))
 
 
 @pytest.fixture()
