@@ -40,10 +40,15 @@ driver-side over THAT BATCH's verified pairs only (bounded by micro-batch
 size, never corpus size); prior assignments are read back as a parquet
 partition scan, never held in driver memory across batches.
 
-Scale notes: bucket state is O(docs per band bucket) — band keys are
-md5-uniform over ROWS_PER_BAND min-hashes, so buckets stay small by the
-banding math (the same argument as the batch blocking join); verification
-cost is restricted to candidates exactly as in d7.
+Scale notes: bucket state is O(docs per band bucket). md5-uniformity of
+the band keys only bounds HASH collisions — bucket membership itself
+grows with the corpus once content is self-similar, and that regime is
+ORGANIC, not hypothetical: the batch measurements (BASELINE.md round 5)
+found ~1,700-doc band buckets at 1.6M word-soup docs, candidates ×4 per
+×2 corpus. For long-running ingest use ``bucket_mode="chain"`` (O(1)
+state, O(1) emission per arrival — see ``lsh_candidates_stateful``) or
+pre-flight the corpus with ``dedup.lsh_bucket_stats``; verification cost
+is restricted to candidates exactly as in d7.
 """
 
 from __future__ import annotations
