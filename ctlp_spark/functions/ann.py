@@ -345,19 +345,15 @@ def sql_lsh_buckets(t: str = "embeddings", dim: int = DIM) -> str:
     return f"SELECT vec_id, {sql_lsh_bucket('embedding', dim)} AS bucket FROM {t}"
 
 
-def lsh_band_candidates(
-    emb: DataFrame, band_bits: int = BAND_BITS, kernel: str = "arrow"
-) -> DataFrame:
-    """Near-neighbor candidate pairs: vectors sharing any band (band_bits
-    consecutive bucket bits). The shipped default is the scale-safe one —
-    64 planes / 16-bit bands — so band keys stay selective (the band join
-    is the only shuffle and its key distribution is sign-balanced by
-    construction). shiftright is arithmetic but the mask strips the
-    sign-extension bits, so the top band of the signed bucket is exact."""
+def _embed_band_rows(b: DataFrame, band_bits: int) -> DataFrame:
+    """(vec_id, band_idx, band_key) from a bucket relation — THE blocking
+    relation both the candidate join and the band diagnostic describe
+    (shared so they can never drift). shiftright is arithmetic but the
+    mask strips the sign-extension bits, so the top band of the signed
+    bucket is exact."""
     n_bands = N_PLANES // band_bits
     mask = (1 << band_bits) - 1
-    b = lsh_buckets(emb, kernel=kernel)
-    bands = b.select(
+    return b.select(
         "vec_id",
         F.explode(
             F.array(*[
@@ -371,6 +367,61 @@ def lsh_band_candidates(
             ])
         ).alias("bk"),
     ).select("vec_id", "bk.band_idx", "bk.band_key")
+
+
+def lsh_band_stats(
+    emb: DataFrame, band_bits: int = BAND_BITS, kernel: str = "arrow"
+) -> DataFrame:
+    """Band-bucket histogram for the embedding sign-LSH blocking key —
+    the family's pre-flight quadratic-regime diagnostic (the dedup
+    module's ``lsh_bucket_stats`` / ``simhash_bucket_stats`` pattern):
+    each 16-bit band is a BOUNDED 65,536-value space, so bucket
+    membership grows ∝ corpus once vectors concentrate (clustered
+    embeddings DO — label-clustered corpora put whole clusters in one
+    band key). Returns (bucket_size, n_buckets, pair_mass) sorted by
+    size descending; run before ``lsh_band_candidates`` /
+    ``embedding_neardup`` at scale and switch to their chain modes when
+    the max bucket grows with the corpus (BASELINE.md round 5)."""
+    from ctlp_spark.functions.dedup import _bucket_histogram
+
+    b = lsh_buckets(emb, kernel=kernel)
+    return _bucket_histogram(
+        _embed_band_rows(b, band_bits), ["band_idx", "band_key"]
+    )
+
+
+def sql_lsh_band_stats(
+    t: str = "embeddings", band_bits: int = BAND_BITS, dim: int = DIM
+) -> str:
+    """DuckDB twin of lsh_band_stats (same bucket/band derivation)."""
+    n_bands = N_PLANES // band_bits
+    mask = (1 << band_bits) - 1
+    band_rows = " UNION ALL ".join(
+        f"SELECT vec_id, {i} AS band_idx, "
+        f"(bucket >> {i * band_bits}) & {mask} AS band_key FROM b"
+        for i in range(n_bands)
+    )
+    return f"""
+WITH b AS (SELECT vec_id, {sql_lsh_bucket('embedding', dim)} AS bucket FROM {t}),
+bands AS ({band_rows}),
+sizes AS (
+  SELECT band_idx, band_key, count(*) AS m FROM bands GROUP BY 1, 2
+)
+SELECT m AS bucket_size, count(*) AS n_buckets,
+       m * (m - 1) // 2 * count(*) AS pair_mass
+FROM sizes GROUP BY m ORDER BY bucket_size DESC"""
+
+
+def lsh_band_candidates(
+    emb: DataFrame, band_bits: int = BAND_BITS, kernel: str = "arrow"
+) -> DataFrame:
+    """Near-neighbor candidate pairs: vectors sharing any band (band_bits
+    consecutive bucket bits). The shipped default is the scale-safe one —
+    64 planes / 16-bit bands — so band keys stay selective against HASH
+    collisions; data concentration still grows buckets with the corpus
+    (pre-flight with ``lsh_band_stats``)."""
+    b = lsh_buckets(emb, kernel=kernel)
+    bands = _embed_band_rows(b, band_bits)
     return (
         bands.alias("x")
         .join(bands.alias("y"), on=["band_idx", "band_key"])

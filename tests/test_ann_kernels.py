@@ -120,6 +120,38 @@ def test_quantize_kernels_equal_and_roundtrip(emb):
         assert np.abs(deq - raw[vid]).max() <= amax / 254.0 + 1e-12
 
 
+def test_lsh_band_stats_matches_duckdb_and_plan(spark):
+    """The embedding band histogram must match its DuckDB twin on real
+    vectors, total the actual pre-distinct band self-join volume, and
+    stay join/window-free (it must be runnable BEFORE a candidate join
+    that might be quadratic)."""
+    import duckdb
+
+    from ctlp_spark.functions import ann as A
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    stats = A.lsh_band_stats(emb)
+    got = sorted(map(tuple, stats.collect()))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        "'/root/testdata/sf0.001/embeddings.parquet'"
+    )
+    want = sorted(map(tuple, con.sql(A.sql_lsh_band_stats()).fetchall()))
+    assert got == want
+    bands = A._embed_band_rows(A.lsh_buckets(emb), A.BAND_BITS)
+    join_rows = (
+        bands.alias("x")
+        .join(bands.alias("y"), on=["band_idx", "band_key"])
+        .where(F.col("x.vec_id") < F.col("y.vec_id"))
+        .count()
+    )
+    assert sum(r[2] for r in got) == join_rows
+    plan = stats._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+
+
 # ----- integer k-means IVF ------------------------------------------------
 
 
