@@ -1038,11 +1038,29 @@ def q_s3_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_s4_lsh_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded sign-LSH candidate pairs — linear-time all-pairs blocking."""
+    """Banded sign-LSH blocking, candidate pairs ⊕ band diagnostics as
+    one tagged union (the d4 pattern): 'cand' rows are the candidate
+    pairs; 'stats' rows are the band bucket histogram (`lsh_band_stats`)
+    — the bounded 65,536-value band space grows buckets with the corpus
+    once vectors concentrate (BASELINE.md). v3 is -1 (not NULL) on
+    'cand' rows — the driver hash canonicalization dislikes nullable
+    columns."""
     from ctlp_spark.functions import ann as A
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return A.lsh_band_candidates(emb)
+    cand = A.lsh_band_candidates(emb).select(
+        F.lit("cand").alias("part"),
+        F.col("vec_a").alias("v1"),
+        F.col("vec_b").alias("v2"),
+        F.lit(-1).cast("bigint").alias("v3"),
+    )
+    stats = A.lsh_band_stats(emb).select(
+        F.lit("stats").alias("part"),
+        F.col("bucket_size").alias("v1"),
+        F.col("n_buckets").alias("v2"),
+        F.col("pair_mass").alias("v3"),
+    )
+    return cand.unionByName(stats)
 
 
 
@@ -1340,7 +1358,14 @@ def _ann_sql(kind: str) -> str:
         "brute": A.sql_brute_force_topk(k=5, n_queries=10),
         "ivf": A.sql_brute_force_topk(k=5, n_queries=10, same_label_only=True),
         "buckets": A.sql_lsh_buckets(),
-        "band_cand": A.sql_lsh_band_candidates(),
+        "band_cand": (
+            "SELECT 'cand' AS part, vec_a AS v1, vec_b AS v2, "
+            "CAST(-1 AS BIGINT) AS v3 "
+            f"FROM ({A.sql_lsh_band_candidates()})\n"
+            "UNION ALL\n"
+            "SELECT 'stats' AS part, bucket_size AS v1, n_buckets AS v2, "
+            f"pair_mass AS v3 FROM ({A.sql_lsh_band_stats()})"
+        ),
         "neardup": A.sql_embedding_neardup_pairs(),
         "multiprobe": A.sql_multiprobe_candidates(n_queries=10),
         "quantize": A.sql_quantize_digest(),
