@@ -1,0 +1,116 @@
+"""Extra benchmarks for optimization work (guide §1) — NOT the driver metric.
+
+Isolates individual declared queries with either the bench-compatible
+parquet sink (memory-backed, what bench.py times) or the noop sink
+(guide §1.4 — times the computation only), and captures
+``.explain("formatted")`` plans for before/after evidence
+(plans/r06/<query>_{before,after}.txt).
+
+Usage:
+  python bench_extra.py --queries d6,d2 --reps 2 [--sink noop|parquet]
+  python bench_extra.py --explain d6_simhash_near --out plans/r06/d6_before.txt
+  python bench_extra.py --all --reps 1           # one pass over the registry
+
+Reads $SPARK_GRAFT_SF_DIR (default /root/testdata/sf1.0 here: optimization
+targets the driver's measured scale) and $SPARK_GRAFT_CPUS.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf1.0")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _spark():
+    from ctlp_spark.session import get_spark
+
+    return get_spark(app_name="bench-extra", cpus=CPUS,
+                     shuffle_partitions=max(CPUS, 8))
+
+
+def _registry():
+    import __spark_entry__ as entrymod
+
+    return entrymod.queries()
+
+
+def _resolve(qs: dict, name: str) -> str:
+    if name in qs:
+        return name
+    hits = [n for n in qs if n.split("_")[0] == name]
+    if len(hits) != 1:
+        raise SystemExit(f"ambiguous/unknown query {name!r}: {hits}")
+    return hits[0]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--queries", default="")
+    ap.add_argument("--all", action="store_true")
+    ap.add_argument("--reps", type=int, default=1)
+    ap.add_argument("--sink", default="parquet", choices=["parquet", "noop"])
+    ap.add_argument("--explain", default="")
+    ap.add_argument("--out", default="")
+    args = ap.parse_args()
+
+    qs = _registry()
+    spark = _spark()
+    from ctlp_spark.functions import dedup as dedup_fns
+
+    if args.explain:
+        name = _resolve(qs, args.explain)
+        df = qs[name](spark, SF_DIR)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        if args.out:
+            os.makedirs(os.path.dirname(args.out), exist_ok=True)
+            with open(args.out, "w") as fh:
+                fh.write(plan)
+            print(f"wrote {args.out}")
+        else:
+            print(plan)
+        dedup_fns.release_caches()
+        spark.stop()
+        return
+
+    names = ([_resolve(qs, n) for n in args.queries.split(",") if n]
+             if args.queries else list(qs))
+    if args.all:
+        names = list(qs)
+    sink = os.path.join(
+        "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp", "ctlp_extra_sink"
+    )
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    for rep in range(args.reps):
+        for name in names:
+            spark.sparkContext.setJobDescription(f"extra:{name}")
+            t0 = time.perf_counter()
+            df = qs[name](spark, SF_DIR)
+            if args.sink == "noop":
+                df.write.format("noop").mode("overwrite").save()
+            else:
+                df.write.mode("overwrite").parquet(sink)
+            samples[name].append(round(time.perf_counter() - t0, 3))
+            dedup_fns.release_caches()
+            spark.sparkContext.setJobDescription(None)
+        sys.stderr.write(
+            f"rep{rep} "
+            + json.dumps({n: s[rep] for n, s in samples.items()})
+            + "\n"
+        )
+    print(json.dumps(
+        {n: round(statistics.median(s), 3) for n, s in samples.items()}
+    ))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -270,12 +270,18 @@ def _lsh_bucket_arrow(emb: pd.Series) -> pd.Series:
     if len(emb) == 0:
         return pd.Series(np.zeros(0, dtype=np.int64))
     V = _rows(emb)
+    # one transpose up front: the inner fold then reads contiguous
+    # per-dimension rows instead of a strided column per (plane, dim)
+    # step (N_PLANES·DIM strided passes). Data movement only — the
+    # per-plane accumulation order over j is unchanged (bit-exactness
+    # contract above).
+    VT = np.ascontiguousarray(V.T)
     acc = np.zeros(len(V), dtype=np.uint64)
     for i in range(N_PLANES):
         s = _PLANES_NP[i]
         dot = np.zeros(len(V))
-        for j in range(V.shape[1]):
-            dot = dot + V[:, j] * s[j]
+        for j in range(VT.shape[0]):
+            dot = dot + VT[j] * s[j]
         acc |= np.where(dot > 0, np.uint64(1) << np.uint64(i), np.uint64(0))
     return pd.Series(acc.view(np.int64))
 
@@ -370,7 +376,8 @@ def _embed_band_rows(b: DataFrame, band_bits: int) -> DataFrame:
 
 
 def lsh_band_stats(
-    emb: DataFrame, band_bits: int = BAND_BITS, kernel: str = "arrow"
+    emb: DataFrame, band_bits: int = BAND_BITS, kernel: str = "arrow",
+    buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Band-bucket histogram for the embedding sign-LSH blocking key —
     the family's pre-flight quadratic-regime diagnostic (the dedup
@@ -384,7 +391,7 @@ def lsh_band_stats(
     the max bucket grows with the corpus (BASELINE.md round 5)."""
     from ctlp_spark.functions.dedup import _bucket_histogram
 
-    b = lsh_buckets(emb, kernel=kernel)
+    b = buckets if buckets is not None else lsh_buckets(emb, kernel=kernel)
     return _bucket_histogram(
         _embed_band_rows(b, band_bits), ["band_idx", "band_key"]
     )
@@ -413,7 +420,8 @@ FROM sizes GROUP BY m ORDER BY bucket_size DESC"""
 
 
 def lsh_band_candidates(
-    emb: DataFrame, band_bits: int = BAND_BITS, kernel: str = "arrow"
+    emb: DataFrame, band_bits: int = BAND_BITS, kernel: str = "arrow",
+    buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Near-neighbor candidate pairs: vectors sharing any band (band_bits
     consecutive bucket bits). The shipped default is the scale-safe one —
@@ -531,7 +539,7 @@ WHERE x.vec_id <> p.q"""
 
 def embedding_neardup_pairs(
     emb: DataFrame, threshold_ppm: int = 350_000, kernel: str = "cell",
-    pair_mode: str = "all_pairs",
+    pair_mode: str = "all_pairs", warn_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked by label (the
     precomputed cluster/IVF cell): at 10^12 scale the blocking IS the
@@ -565,6 +573,13 @@ def embedding_neardup_pairs(
     """
     if pair_mode not in ("all_pairs", "chain"):
         raise ValueError(f"unknown pair_mode: {pair_mode!r}")
+    if pair_mode == "all_pairs" and warn_bucket_size is not None:
+        from ctlp_spark.functions.dedup import _warn_hot_buckets
+
+        _warn_hot_buckets(
+            emb.select("label"), ["label"], warn_bucket_size,
+            "embedding_neardup_pairs (see lsh_band_stats)",
+        )
     if kernel == "cell":
         return _neardup_pairs_cell(emb, threshold_ppm, pair_mode)
     if pair_mode == "chain":
@@ -710,6 +725,11 @@ def _neardup_pairs_cell(
             t = np.arange(s, min(s + _CELL_PAIR_CHUNK, total))
             ca = np.searchsorted(starts, t, side="right") - 1
             cb = t - starts[ca] + ca + 1
+            # per-dimension fancy gather V[idx, j] is the FAST shape here
+            # (measured: a row-gather + transpose per chunk is 6-24×
+            # slower — the transpose copy is cache-hostile and amortizes
+            # over only one use per dim, unlike the bucket kernel's
+            # once-per-batch transpose reused N_PLANES times)
             acc = np.zeros(len(ca))
             for j in range(V.shape[1]):
                 acc = acc + V[ca, j] * V[cb, j]

@@ -22,8 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ctlp_spark.functions.dedup import exact_dedup
-from ctlp_spark.functions.text import lang_id_frame, quality_ppm
+from ctlp_spark.functions.text import quality_ppm
 
 DEFAULT_MIN_QUALITY_PPM = 420_000
 DEFAULT_LANGS = ("en",)
@@ -37,22 +36,59 @@ def curate(
     text_col: str = "text",
 ) -> DataFrame:
     """(doc_id, quality_ppm, lang_pred, is_canonical, keep, reason) —
-    reason NULL iff kept. One id-keyed hash join (the dedup window) plus
-    pure-map scoring; the decision itself adds no shuffle."""
-    canon = exact_dedup(docs, id_col=id_col, text_col=text_col).select(
-        id_col, "is_canonical"
+    reason NULL iff kept.
+
+    One pass over the documents (quality + language scores + the dedup
+    fingerprint materialize from a single normalized projection), one
+    map-side-combined fingerprint aggregate, one fp-keyed null-safe hash
+    join back — the exact_dedup shape with the per-row scoring riding
+    the same scan. The earlier spelling ran THREE full document scans
+    (quality, language, fingerprint) reconciled by two extra id-keyed
+    shuffle joins; the per-column expressions here are identical, so the
+    values are unchanged (lang scores stay materialized columns before
+    the argmax fold — the t2 analysis-cost fix, see lang_id_frame)."""
+    from ctlp_spark.functions.joins import null_safe_join
+    from ctlp_spark.functions.text import LANG_MARKERS, norm_text
+    from ctlp_spark.functions.text import fingerprint_md5
+
+    langs = sorted(LANG_MARKERS)
+    padded = F.concat(F.lit(" "), norm_text(F.col(text_col)), F.lit(" "))
+
+    def score_of(lang: str):
+        score = F.lit(0)
+        for m in LANG_MARKERS[lang]:
+            occ = (
+                F.length("_pad") - F.length(F.replace(F.col("_pad"), F.lit(m)))
+            ) / len(m)
+            score = score + occ
+        return score
+
+    # NULL-id docs dropped, matching the previous id-keyed INNER joins
+    # (and the oracle's JOIN ... USING (doc_id)), which never match NULL
+    pre = docs.where(F.col(id_col).isNotNull()).select(
+        F.col(id_col),
+        quality_ppm(F.col(text_col)).cast("bigint").alias("quality_ppm"),
+        fingerprint_md5(F.col(text_col)).alias("_fp"),
+        padded.alias("_pad"),
+    ).select(
+        id_col, "quality_ppm", "_fp",
+        *[score_of(lang).alias(f"_s_{lang}") for lang in langs],
     )
-    # lang via the column-materialized frame, NOT the inline lang_id()
-    # expression — the argmax CASE chain over inline score trees
-    # duplicates the replace() scans exponentially (the t2 analysis-cost
-    # fix; see lang_id_frame docstring). Same values, id-keyed join.
-    scored = (
-        docs.select(
-            id_col,
-            quality_ppm(F.col(text_col)).cast("bigint").alias("quality_ppm"),
-        )
-        .join(lang_id_frame(docs, id_col=id_col, text_col=text_col), id_col)
-        .join(canon, id_col)
+    best_lang = F.lit(langs[0])
+    best_score = F.col(f"_s_{langs[0]}")
+    for lang in langs[1:]:
+        improved = F.col(f"_s_{lang}") > best_score
+        best_lang = F.when(improved, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(improved, F.col(f"_s_{lang}")).otherwise(best_score)
+    pre = pre.select(
+        id_col, "quality_ppm", "_fp",
+        F.when(best_score > 0, best_lang).otherwise(F.lit("und")).alias(
+            "lang_pred"
+        ),
+    )
+    agg = pre.groupBy("_fp").agg(F.min(id_col).alias("_keep_id"))
+    scored = null_safe_join(pre, agg, on=["_fp"]).withColumn(
+        "is_canonical", F.col(id_col) == F.col("_keep_id")
     )
     reason = (
         F.when(~F.col("is_canonical"), F.lit("duplicate"))

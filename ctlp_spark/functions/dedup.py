@@ -167,6 +167,18 @@ def release_caches() -> None:
         _CACHED_FRAMES.pop().unpersist()
 
 
+def cache_shared(df: DataFrame) -> DataFrame:
+    """Cache an intermediate that one query plan references more than
+    once (e.g. a signature relation feeding both arms of a tagged
+    union — Spark does not deduplicate common subtrees across union
+    branches, so without this the kernel runs once PER ARM). Registered
+    for :func:`release_caches`, which long-lived sessions (the bench
+    loop) call after materializing each query."""
+    df = df.cache()
+    _CACHED_FRAMES.append(df)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -188,7 +200,11 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     semantics the oracle pins."""
     from ctlp_spark.functions.joins import null_safe_join
 
-    f = docs.select(F.col(id_col), fingerprint_md5(F.col(text_col)).alias("fp"))
+    # cached: the fingerprint projection feeds both the group aggregate
+    # and the join back — uncached, the normalize+md5 pass runs twice
+    f = cache_shared(
+        docs.select(F.col(id_col), fingerprint_md5(F.col(text_col)).alias("fp"))
+    )
     agg = f.groupBy("fp").agg(
         F.min(id_col).alias("keep_id"), F.count("*").alias("group_size")
     )
@@ -399,11 +415,23 @@ def ngram_jaccard_pairs(
     )
     _CACHED_FRAMES.append(sh)  # released via release_caches() (long sessions)
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    # The co-shingle join emits ~Σ m·(m-1)/2 rows (hundreds of millions
+    # at 50k word-soup docs) and nearly every pair is DISTINCT, so a
+    # plain groupBy spills: its pre-exchange partial-aggregation hash
+    # map holds ~all pairs at once per join partition. Exchanging the
+    # raw pair rows FIRST (explicit hash repartition on the full group
+    # key) moves the same bytes but lets the aggregate run fused
+    # partial+final per output partition with a bounded map. Width is
+    # derived from the session's parallelism, never a constant.
+    spark = docs.sparkSession
+    width = 2 * spark.sparkContext.defaultParallelism
     pairs = (
         sh.alias("a")
         .join(sh.alias("b"), on="sh")
         .where(F.col("a.doc") < F.col("b.doc"))
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .repartition(width, "doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )
     return (
@@ -447,16 +475,36 @@ WHERE CAST(floor((inter * 1000000) / (sa.sz + sb.sz - inter)) AS BIGINT) >= {thr
 # ---------------------------------------------------------------------------
 
 
-def minhash_signatures(
+def sh60_rows(
     docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
+    """(doc, h60) — one MULTISET row per shingle position with its 60-bit
+    md5 hash: the ONE shingle+md5 pass every MinHash-family consumer can
+    derive from (minhash reduces h60 mod P; the manifest feature store
+    collect_sets h60 directly). Computing this once and sharing it
+    (cache_shared) replaces one full shingle pass per consumer."""
+    return shingle_rows(docs, n, id_col, text_col).select(
+        "doc", shingle_hash60(F.col("sh")).alias("h60")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text",
+    sh60: DataFrame | None = None,
+) -> DataFrame:
     """K min-hash values per doc: one explode + one groupBy with K min aggs
-    (map-side partial aggregation keeps the shuffle tiny)."""
+    (map-side partial aggregation keeps the shuffle tiny). ``sh60``:
+    optionally derive from a precomputed :func:`sh60_rows` relation
+    (h = h60 mod P — bit-identical to hashing in place) so one shingle
+    pass serves several consumers."""
     # multiset shingles: duplicates cannot change a MIN, so no distinct —
     # the whole scan→shingle→hash→partial-min stage is one codegen span
-    sh = shingle_rows(docs, n, id_col, text_col).select(
-        "doc", shingle_hash(F.col("sh")).alias("h")
-    )
+    if sh60 is not None:
+        sh = sh60.select("doc", (F.col("h60") % P).alias("h"))
+    else:
+        sh = shingle_rows(docs, n, id_col, text_col).select(
+            "doc", shingle_hash(F.col("sh")).alias("h")
+        )
     aggs = [
         F.min((F.col("h") * a + b) % P).alias(f"mh{i}")
         for i, (a, b) in enumerate(HASH_AB)
@@ -465,14 +513,16 @@ def minhash_signatures(
 
 
 def band_rows(
-    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text",
+    sh60: DataFrame | None = None,
 ) -> DataFrame:
     """(doc, band_idx, band_key) — one row per document per band, the LSH
     blocking relation shared by ``lsh_candidate_pairs`` and the near-dup
     manifest's bucket state. Band keys are md5 of ROWS_PER_BAND
     consecutive min-hashes — bit-identical to the streaming twin's
-    ``doc_band_rows`` (pinned there)."""
-    sig = minhash_signatures(docs, n, id_col, text_col)
+    ``doc_band_rows`` (pinned there). ``sh60``: see
+    :func:`minhash_signatures`."""
+    sig = minhash_signatures(docs, n, id_col, text_col, sh60=sh60)
     return sig.select(
         "doc",
         F.explode(
@@ -495,10 +545,38 @@ def band_rows(
     ).select("doc", "b.band_idx", "b.band_key")
 
 
+def _warn_hot_buckets(
+    keyed: DataFrame, key_cols: list[str], warn_bucket_size: int,
+    family: str,
+) -> None:
+    """Shared all_pairs pre-flight (the ``neardup_manifest`` warning,
+    threaded through the three blocking entry points): one tiny
+    max-bucket aggregate over the blocking relation; at or above the
+    threshold, warn that all_pairs candidate generation is quadratic in
+    the bucket and point at the chain mode + the family's histogram
+    diagnostic. OPT-IN (callers pass ``warn_bucket_size``): the check is
+    an extra eager job, which bulk pipelines amortize but per-query
+    paths should not pay silently."""
+    row = keyed.groupBy(*key_cols).count().agg(F.max("count")).first()
+    max_bucket = row[0] or 0
+    if max_bucket >= warn_bucket_size:
+        import warnings
+
+        warnings.warn(
+            f"{family}: largest blocking bucket holds {max_bucket} rows "
+            f"(>= {warn_bucket_size}); all_pairs candidate generation is "
+            f"quadratic in bucket size — consider bucket_mode='chain' "
+            f"(recall contract in lsh_candidate_pairs) or inspect the "
+            f"family's bucket-stats diagnostic before proceeding",
+            stacklevel=3,
+        )
+
+
 def lsh_candidate_pairs(
     docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text",
     bucket_mode: str = "all_pairs",
     bands: DataFrame | None = None,
+    warn_bucket_size: int | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate pairs: equal band-key (md5 of ROWS_PER_BAND
     consecutive min-hashes) in any band. The join key (band_idx, band_key)
@@ -536,6 +614,11 @@ def lsh_candidate_pairs(
     """
     if bands is None:
         bands = band_rows(docs, n, id_col, text_col)
+    if bucket_mode == "all_pairs" and warn_bucket_size is not None:
+        _warn_hot_buckets(
+            bands, ["band_idx", "band_key"], warn_bucket_size,
+            "lsh_candidate_pairs (see lsh_bucket_stats)",
+        )
     if bucket_mode == "chain":
         mins = bands.groupBy("band_idx", "band_key").agg(
             F.min("doc").alias("doc_min")
@@ -853,6 +936,7 @@ def simhash_near_pairs(
     docs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id",
     text_col: str = "text", kernel: str = "arrow",
     bucket_mode: str = "all_pairs", sig: DataFrame | None = None,
+    warn_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming, found via banded
     16-bit-chunk equality join (a pair within hamming 3 must agree on at
@@ -870,6 +954,22 @@ def simhash_near_pairs(
     if sig is None:
         sig = simhash(docs, id_col, text_col, kernel=kernel)
     chunks = _simhash_chunks(sig, with_sig=True)
+    if bucket_mode == "all_pairs" and warn_bucket_size is not None:
+        _warn_hot_buckets(
+            _simhash_chunks(sig, with_sig=False), ["chunk_idx", "chunk"],
+            warn_bucket_size, "simhash_near_pairs (see simhash_bucket_stats)",
+        )
+    # The hamming predicate runs BEFORE the pair-dedup `distinct`: the
+    # bounded chunk key space makes the blocking join's output quadratic
+    # in corpus size (BASELINE.md: ~1.05e9 rows at 400k docs), and a
+    # distinct over that relation is a full shuffle of every candidate
+    # row carrying two 64-bit signatures. bit_count(xor) is a few cycles
+    # of codegen in the join's own output stage, so filtering first
+    # pipelines the explosion away and only the (tiny) surviving near
+    # pairs reach the exchange. Row-set equivalence is exact: hamming is
+    # a pure function of (sig_a, sig_b), which are themselves functions
+    # of (doc_a, doc_b), so filter∘distinct == distinct∘filter here.
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     if bucket_mode == "chain":
         mins = chunks.groupBy("chunk_idx", "chunk").agg(
             F.min(F.struct("doc", "simhash")).alias("_m")
@@ -883,7 +983,6 @@ def simhash_near_pairs(
                 F.col("_m.simhash").alias("sig_a"),
                 F.col("simhash").alias("sig_b"),
             )
-            .distinct()
         )
     elif bucket_mode == "all_pairs":
         cand = (
@@ -896,13 +995,13 @@ def simhash_near_pairs(
                 F.col("x.simhash").alias("sig_a"),
                 F.col("y.simhash").alias("sig_b"),
             )
-            .distinct()
         )
     else:
         raise ValueError(f"unknown bucket_mode: {bucket_mode!r}")
-    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return cand.where(ham <= max_hamming).select(
-        "doc_a", "doc_b", ham.cast("bigint").alias("hamming")
+    return (
+        cand.where(ham <= max_hamming)
+        .select("doc_a", "doc_b", ham.cast("bigint").alias("hamming"))
+        .distinct()
     )
 
 
@@ -1039,6 +1138,7 @@ def neardup_groups(
     bucket_mode: str = "all_pairs",
     driver_threshold: int = 20_000,
     bands: DataFrame | None = None,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end dedup decision: LSH→verify near-dup pairs → connected
     components → per-doc (group_id, group_size, is_canonical). Keep rows
@@ -1059,7 +1159,7 @@ def neardup_groups(
     distributed path. Engine equality is pinned in tests/test_dedup.py."""
     pairs = neardup_pipeline(
         docs, n, threshold_ppm, id_col, text_col, bucket_mode=bucket_mode,
-        bands=bands,
+        bands=bands, sets=sets,
     ).select("doc_a", "doc_b").localCheckpoint()
     nodes = docs.select(F.col(id_col).alias("doc"))
     if pairs.count() <= driver_threshold:
@@ -1124,6 +1224,7 @@ def jaccard_on_candidates(
     text_col: str = "text",
     checkpoint: str | None = "local",
     prefilter: str = "semi",
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard verification restricted to candidate pairs — the
     LSH→verify composition that replaces the quadratic shingle self-join at
@@ -1154,31 +1255,38 @@ def jaccard_on_candidates(
       checkpoint dir (caller must have called ``setCheckpointDir``);
       survives executor loss — use this on a real cluster.
     * ``None`` — no materialization: fully lazy, but the blocking plan
-      (LSH banding) is recomputed up to 3×."""
+      (LSH banding) is recomputed up to 3×.
+
+    ``sets``: optionally pass a precomputed ``(doc, sh)`` distinct
+    shingle-set relation (e.g. one cached whole-corpus relation shared
+    by several verify passes); the candidate prefilter+shingling stage
+    is skipped — the inner pair joins below restrict to candidates
+    either way, so the output is identical."""
     if checkpoint == "local":
         candidates = candidates.localCheckpoint()
     elif checkpoint == "reliable":
         candidates = candidates.checkpoint()
     elif checkpoint is not None:
         raise ValueError(f"unknown checkpoint strategy: {checkpoint!r}")
-    cand_ids = (
-        candidates.select(F.col("doc_a").alias(id_col))
-        .unionByName(candidates.select(F.col("doc_b").alias(id_col)))
-        .distinct()
-    )
-    if prefilter == "semi":
-        restricted = docs.join(cand_ids, on=id_col, how="left_semi")
-    elif prefilter == "bloom":
-        from ctlp_spark.functions.bloom import bloom_prefilter
+    if sets is None:
+        cand_ids = (
+            candidates.select(F.col("doc_a").alias(id_col))
+            .unionByName(candidates.select(F.col("doc_b").alias(id_col)))
+            .distinct()
+        )
+        if prefilter == "semi":
+            restricted = docs.join(cand_ids, on=id_col, how="left_semi")
+        elif prefilter == "bloom":
+            from ctlp_spark.functions.bloom import bloom_prefilter
 
-        restricted = bloom_prefilter(docs, cand_ids, id_col=id_col)
-    else:
-        raise ValueError(f"unknown prefilter strategy: {prefilter!r}")
-    sets = (
-        shingle_rows(restricted, n, id_col, text_col)
-        .groupBy("doc")
-        .agg(F.collect_set("sh").alias("sh"))
-    )
+            restricted = bloom_prefilter(docs, cand_ids, id_col=id_col)
+        else:
+            raise ValueError(f"unknown prefilter strategy: {prefilter!r}")
+        sets = (
+            shingle_rows(restricted, n, id_col, text_col)
+            .groupBy("doc")
+            .agg(F.collect_set("sh").alias("sh"))
+        )
     joined = (
         candidates.join(
             sets.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a")),
@@ -1215,6 +1323,7 @@ def neardup_pipeline(
     prefilter: str = "semi",
     bucket_mode: str = "all_pairs",
     bands: DataFrame | None = None,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """The near-dup SCALE PATH, end to end: MinHash-LSH blocking
     (linear-time, md5-uniform band keys) → exact Jaccard verification on
@@ -1237,6 +1346,7 @@ def neardup_pipeline(
         text_col=text_col,
         checkpoint=checkpoint,
         prefilter=prefilter,
+        sets=sets,
     )
 
 
@@ -1306,14 +1416,18 @@ NEARDUP_MANIFEST_PARTS = ("assignments", "buckets", "features")
 
 
 def _feature_sets(
-    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text",
+    sh60: DataFrame | None = None,
 ) -> DataFrame:
     """(doc, sh60) — each doc's distinct 60-bit shingle-hash set (the
     manifest feature relation). One shingle pass + one map-side-combined
-    collect_set groupBy."""
+    collect_set groupBy. ``sh60``: optionally reuse a precomputed
+    :func:`sh60_rows` relation (identical output — collect_set dedups
+    the multiset either way)."""
+    if sh60 is None:
+        sh60 = sh60_rows(docs, n, id_col, text_col)
     return (
-        shingle_rows(docs, n, id_col, text_col)
-        .select("doc", shingle_hash60(F.col("sh")).alias("h"))
+        sh60.select("doc", F.col("h60").alias("h"))
         .groupBy("doc")
         .agg(F.collect_set("h").alias("sh60"))
     )
@@ -1328,6 +1442,9 @@ def neardup_manifest(
     bucket_mode: str = "all_pairs",
     driver_threshold: int = 20_000,
     warn_bucket_size: int | None = 10_000,
+    bands: DataFrame | None = None,
+    features: DataFrame | None = None,
+    sets: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Bootstrap the near-dup manifest from a corpus: the ``neardup_groups``
     decision (assignments), the LSH bucket state, and the feature store —
@@ -1349,34 +1466,26 @@ def neardup_manifest(
     reads back its max bucket size; at or above the threshold a
     UserWarning suggests ``bucket_mode="chain"`` — the measured organic
     mega-bucket regime where all_pairs candidates grow quadratically
-    (BASELINE.md). None disables the check."""
-    bands = band_rows(docs, n, id_col, text_col).localCheckpoint()
-    if bucket_mode == "all_pairs" and warn_bucket_size is not None:
-        row = (
-            bands.groupBy("band_idx", "band_key")
-            .count()
-            .agg(F.max("count"))
-            .first()
-        )
-        max_bucket = row[0] or 0
-        if max_bucket >= warn_bucket_size:
-            import warnings
+    (BASELINE.md). None disables the check.
 
-            warnings.warn(
-                f"neardup_manifest: largest LSH band bucket holds "
-                f"{max_bucket} docs (>= {warn_bucket_size}); all_pairs "
-                f"candidate generation is quadratic in bucket size — "
-                f"consider bucket_mode='chain' (O(m) per bucket, recall "
-                f"contract in lsh_candidate_pairs) or inspect "
-                f"lsh_bucket_stats(docs) before proceeding",
-                stacklevel=2,
-            )
+    ``bands`` / ``features``: optionally pass already-materialized
+    :func:`band_rows` / :func:`_feature_sets` relations (e.g. cached
+    slices of a whole-corpus computation) so the MinHash/shingle kernels
+    are not re-run here; callers own their materialization."""
+    if bands is None:
+        bands = band_rows(docs, n, id_col, text_col).localCheckpoint()
+    if bucket_mode == "all_pairs" and warn_bucket_size is not None:
+        _warn_hot_buckets(
+            bands, ["band_idx", "band_key"], warn_bucket_size,
+            "neardup_manifest (see lsh_bucket_stats)",
+        )
     assignments = neardup_groups(
         docs, n, threshold_ppm, id_col, text_col,
         bucket_mode=bucket_mode, driver_threshold=driver_threshold,
-        bands=bands,
+        bands=bands, sets=sets,
     ).select(F.col(id_col).alias("doc_id"), "group_id")
-    features = _feature_sets(docs, n, id_col, text_col)
+    if features is None:
+        features = _feature_sets(docs, n, id_col, text_col)
     if bucket_mode == "chain":
         buckets = bands.groupBy("band_idx", "band_key").agg(
             F.min("doc").alias("doc")
@@ -1431,6 +1540,8 @@ def neardup_increment(
     text_col: str = "text",
     bucket_mode: str = "all_pairs",
     driver_threshold: int = 20_000,
+    inc_bands: DataFrame | None = None,
+    inc_features: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup decision for a NEW batch against the persisted manifest —
     the daily-increment workflow: corpus text is never re-read or
@@ -1459,7 +1570,12 @@ def neardup_increment(
 
     Returns one row per batch doc: (doc_id, group_id, group_size,
     is_canonical, is_new_group) where group_size is the post-increment
-    total and is_new_group marks groups the corpus has never seen."""
+    total and is_new_group marks groups the corpus has never seen.
+
+    ``inc_bands`` / ``inc_features``: optionally pass the batch's
+    precomputed :func:`band_rows` / :func:`_feature_sets` relations
+    (e.g. cached slices shared with other consumers) instead of
+    re-running the kernels here."""
     # shared decision engines — the streaming module owns the frozen-group
     # contract; importing lazily avoids a module cycle (streaming.neardup
     # imports this module at top level)
@@ -1472,7 +1588,8 @@ def neardup_increment(
     if bucket_mode not in ("all_pairs", "chain"):
         raise ValueError(f"unknown bucket_mode: {bucket_mode!r}")
     spark = increment.sparkSession
-    inc_bands = band_rows(increment, n, id_col, text_col)
+    if inc_bands is None:
+        inc_bands = band_rows(increment, n, id_col, text_col)
     # Candidate generation joins the SMALL batch side against the bucket
     # state — never the state against itself: a combined self-join would
     # recompute every prior×prior bucket pair (the whole corpus's
@@ -1527,7 +1644,9 @@ def neardup_increment(
             .distinct()
         )
     feats = manifest["features"].unionByName(
-        _feature_sets(increment, n, id_col, text_col)
+        inc_features
+        if inc_features is not None
+        else _feature_sets(increment, n, id_col, text_col)
     )
     # materialized once: the id restriction below and both decision
     # engines re-read the candidate/verified relations
@@ -1551,21 +1670,48 @@ def neardup_increment(
             spark, arrivals, verified, prior
         )
     else:
+        # Driver traffic is bounded by the PAIR gate alone: only the
+        # verified pairs and the prior labels of pair-touched docs ever
+        # cross the driver (≤ 2·driver_threshold ids via a broadcast
+        # semi-join — never an isin() literal list, the documented
+        # Py4J expression-cost cliff, and never a full collect of the
+        # arrivals, which a large batch with few pairs would make
+        # corpus-scale). Un-paired arrivals take their own id as label
+        # distributively via the broadcast left join below — identical
+        # to the union-find's singleton rule.
         pairs = [(r.doc_a, r.doc_b) for r in verified.collect()]
-        new_ids = sorted(r.doc_id for r in arrivals.collect())
+        need = sorted({int(d) for p in pairs for d in p})
         prior_map: dict[int, int] = {}
-        need = {d for p in pairs for d in p}
         if need:
+            need_df = spark.createDataFrame(
+                [(d,) for d in need], "doc_id bigint"
+            )
             prior_map = {
                 r.doc_id: r.group_id
-                for r in prior.where(
-                    F.col("doc_id").isin([int(d) for d in need])
+                for r in prior.join(
+                    F.broadcast(need_df), "doc_id", "left_semi"
                 ).collect()
             }
-        assigned = _assign_components(new_ids, pairs, prior_map)
-        new_assign = spark.createDataFrame(
+        paired_new = [d for d in need if d not in prior_map]
+        assigned = _assign_components(paired_new, pairs, prior_map)
+        lab = spark.createDataFrame(
             [(int(d), int(g)) for d, g in sorted(assigned.items())] or [],
             "doc_id bigint, group_id bigint",
+        )
+        new_assign = (
+            # distinct: the union-find emitted one row per distinct id
+            arrivals.distinct()
+            .join(
+                F.broadcast(lab.withColumnRenamed("group_id", "_lab")),
+                "doc_id",
+                "left",
+            )
+            # original semantics: an arrival already present in the prior
+            # assignments is never re-decided (new_ids `not in prior`)
+            .join(prior.select("doc_id"), "doc_id", "left_anti")
+            .select(
+                "doc_id", F.coalesce("_lab", F.col("doc_id")).alias("group_id")
+            )
         )
     sizes = prior.unionByName(new_assign).groupBy("group_id").agg(
         F.count("*").alias("group_size")
@@ -1839,8 +1985,13 @@ def passage_dedup(
     # multiplicity c (duplicate corpus ROWS yield c > 1: one copy is the
     # kept/first occurrence, the rest are dups — exactly row_number
     # semantics, which a plain struct==min comparison would miscount)
-    rows = ch.groupBy("_ck", id_col, "chunk_idx").agg(
-        F.count("*").alias("_c"), F.max("h").alias("h")
+    # cached: `rows` feeds both the first-occurrence aggregate and the
+    # join back — uncached, the chunk+md5 derivation runs twice in one
+    # plan (one row per distinct (passage, doc, position))
+    rows = cache_shared(
+        ch.groupBy("_ck", id_col, "chunk_idx").agg(
+            F.count("*").alias("_c"), F.max("h").alias("h")
+        )
     )
     firsts = rows.groupBy("_ck").agg(
         F.min(F.struct(F.col(id_col), F.col("chunk_idx"))).alias("_first")

@@ -21,16 +21,19 @@ not a global single-partition window:
 1. bucket docs by ``doc_id div bucket_span`` (dense ids ⇒ balanced);
 2. per-bucket running totals via a window PARTITIONED BY bucket (parallel,
    one narrow shuffle);
-3. per-bucket grand totals (a tiny aggregate — one row per bucket) come to
-   the driver, turn into exclusive prefix offsets, and go back as a
-   BROADCAST join;
+3. per-bucket grand totals (a tiny aggregate — one row per bucket) turn
+   into exclusive prefix offsets via a window over the bucket-totals
+   relation, and join back BROADCAST;
 4. global running total = bucket offset + local running total.
 
-The only driver-side data is one row per bucket (``n_docs / bucket_span``
-rows — thousands at 10^12 docs with a large span), and the only wide
-operation is the per-bucket window sort. The DuckDB oracle is the direct
-single-window spelling, so the distributed decomposition is verified
-against the naive global definition.
+NOTHING crosses the driver (the offset carry is a window over the
+one-row-per-bucket relation — the latency-percentiles pattern from
+operators/conversation.py); the only wide operation is the per-bucket
+window sort, and the single-task offsets window holds ``n_docs /
+bucket_span`` rows — size the span so that stays small at your corpus.
+The DuckDB oracle is the direct single-window spelling, so the
+distributed decomposition is verified against the naive global
+definition.
 """
 
 from __future__ import annotations
@@ -64,20 +67,26 @@ def token_budget_shards(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = sized.withColumn("_local_cum", F.sum("n_tokens").over(w))
-    totals = (
-        local.groupBy("_bucket")
-        .agg(F.max("_local_cum").alias("_total"))
-        .orderBy("_bucket")
-        .collect()
+    # Bucket-offset carry fully DISTRIBUTED (the conversation.py
+    # latency-percentiles pattern): exclusive prefix over the tiny
+    # one-row-per-bucket totals relation via a window, broadcast back.
+    # No driver collect/loop — the old collect-and-loop carry pulled
+    # n_docs/bucket_span rows through the driver (~10^9 at design scale
+    # under the default span). The offsets window runs on one task but
+    # holds only the bucket-totals relation; size ``bucket_span`` so
+    # that stays O(thousands-to-millions) at your corpus scale.
+    # bucket totals from a plain map-side-combined aggregate over the
+    # sized rows (≡ max of the running cum, without re-running the
+    # phase-1 window on the broadcast build side)
+    totals = sized.groupBy("_bucket").agg(F.sum("n_tokens").alias("_total"))
+    off_w = (
+        Window.orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offsets = []
-    acc = 0
-    for row in totals:
-        offsets.append((row["_bucket"], acc))
-        acc += row["_total"]
-    spark = docs.sparkSession
-    off_df = spark.createDataFrame(offsets or [(0, 0)],
-                                   "_bucket bigint, _offset bigint")
+    off_df = totals.select(
+        "_bucket",
+        F.coalesce(F.sum("_total").over(off_w), F.lit(0)).alias("_offset"),
+    )
     start = F.col("_offset") + F.col("_local_cum") - F.col("n_tokens")
     return (
         local.join(F.broadcast(off_df), "_bucket")

@@ -53,6 +53,80 @@ from ctlp_spark.rules import RuleConfig
 MATCHED_RULE_COL = "matched_rule"
 
 
+# Characters with no meaning in any supported regex dialect (RE2 / Java /
+# Python re / Arrow): patterns built only from these (plus optional ^/$
+# anchors) are plain substring/prefix/suffix/equality tests, which both
+# engines can run without a regex machine at all. Deliberately a
+# WHITELIST — anything outside it (including every metacharacter and any
+# escape) falls back to the real regex path.
+_SAFE_LITERAL = re.compile(r"[A-Za-z0-9_ :,;/=@!'\"<>~#&%-]+\Z")
+
+
+def classify_pattern(pattern: str) -> tuple[str, object] | None:
+    """Classify a rule pattern as a literal-string predicate, or None.
+
+    Returns (kind, payload) with kind ∈ {'contains', 'startswith',
+    'endswith', 'equals', 'isin'} for patterns that are safe literals
+    modulo ^/$ anchors (including the ``^(a|b|c)$`` literal-alternation
+    form → 'isin'). Anchors follow the project's declared RE2 dialect
+    (SURVEY §1.4: the reference engine is Go regexp — RE2): ``^`` is
+    start-of-text, ``$`` is END-OF-TEXT. Java's regex (the rlike
+    fallback) additionally lets ``$`` match before a trailing newline —
+    a dialect corner the oracle's RE2 never had, so the rewrite makes
+    the native compiler agree with the pandas/Arrow-RE2 compiler and the
+    DuckDB twin on that corner instead of diverging.
+
+    Both rule compilers consult this ONE classifier so the dual-compiler
+    equivalence invariant (tests/test_property.py) is preserved by
+    construction."""
+    core = pattern
+    anchor_start = core.startswith("^")
+    if anchor_start:
+        core = core[1:]
+    anchor_end = core.endswith("$")
+    if anchor_end:
+        core = core[:-1]
+    if (
+        anchor_start
+        and anchor_end
+        and core.startswith("(")
+        and core.endswith(")")
+    ):
+        parts = core[1:-1].split("|")
+        if len(parts) > 1 and all(_SAFE_LITERAL.fullmatch(p) for p in parts):
+            return ("isin", parts)
+    if not _SAFE_LITERAL.fullmatch(core):
+        return None
+    if anchor_start and anchor_end:
+        return ("equals", core)
+    if anchor_start:
+        return ("startswith", core)
+    if anchor_end:
+        return ("endswith", core)
+    return ("contains", core)
+
+
+def _native_match(col: Column, pattern: str) -> Column:
+    """The native compiler's single-condition predicate: a literal
+    string predicate when :func:`classify_pattern` allows (runs inside
+    whole-stage codegen with no regex machine), else ``rlike``. NULL
+    propagation is identical on every branch (NULL input → NULL
+    predicate → the rule falls through, i.e. missing-field-keeps)."""
+    kind = classify_pattern(pattern)
+    if kind is None:
+        return col.rlike(pattern)
+    k, payload = kind
+    if k == "contains":
+        return col.contains(payload)
+    if k == "startswith":
+        return col.startswith(payload)
+    if k == "endswith":
+        return col.endswith(payload)
+    if k == "equals":
+        return col == F.lit(payload)
+    return col.isin(*payload)
+
+
 def _arrow_re2_compilable(pattern: str) -> bool:
     """True if Arrow's RE2 kernel accepts ``pattern``. Probed on a
     one-element [""] array — Arrow SKIPS regex compilation entirely on
@@ -167,7 +241,7 @@ def matched_rule_native(
             if col is None:
                 impossible = True
                 break
-            conds.append(col.rlike(m.regex))
+            conds.append(_native_match(col, m.regex))
         if impossible:
             continue  # rule can never fire on this schema
         pred = reduce(and_, conds)
@@ -178,7 +252,7 @@ def matched_rule_native(
             col = resolve_field(df, m.field_name, json_columns, json_extractor)
             if col is None:
                 continue  # exception can never hold on this schema
-            pred = pred & ~F.coalesce(col.rlike(m.regex), F.lit(False))
+            pred = pred & ~F.coalesce(_native_match(col, m.regex), F.lit(False))
         branches.append(F.when(pred, F.lit(rule.name)))
     if not branches:
         return F.lit(None).cast(T.StringType()).alias(MATCHED_RULE_COL)
@@ -211,12 +285,20 @@ def matched_rule_pandas(
     ]
     idx = {f: i for i, f in enumerate(fields)}
 
-    def _pat(field: str, regex: str) -> tuple[int, re.Pattern, bool]:
-        """(input index, compiled pattern, use_arrow). RE2-compilability is
+    def _pat(field: str, regex: str) -> tuple[int, object, str]:
+        """(input index, payload, mode). Literal-shaped patterns
+        (:func:`classify_pattern` — the SAME classifier the native
+        compiler uses, so the two compilers stay equivalent by
+        construction) dispatch to Arrow's non-regex string kernels;
+        everything else keeps the regex path, whose RE2-compilability is
         probed ONCE here at UDF-build time — never per batch: a silent
         mid-batch engine switch (Arrow RE2 → Python re) would evaluate the
         same pattern under two regex dialects depending on which batch it
         landed in, a hole in the two-compiler-equivalence invariant."""
+        lit = classify_pattern(regex)
+        if lit is not None:
+            kind, payload = lit
+            return (idx[field], payload, kind)
         ok = _arrow_re2_compilable(regex)
         if not ok:
             import warnings
@@ -228,9 +310,9 @@ def matched_rule_pandas(
                 " native compiler's Java regex on Unicode classes",
                 stacklevel=3,
             )
-        return (idx[field], re.compile(regex), ok)
+        return (idx[field], re.compile(regex), "arrow" if ok else "re")
 
-    compiled: list[tuple[str, list[tuple[int, re.Pattern, bool]] | None, list[tuple[int, re.Pattern, bool]]]] = []
+    compiled: list[tuple[str, list[tuple[int, object, str]] | None, list[tuple[int, object, str]]]] = []
     for rule in cfg.rules:
         if any(resolved[m.field_name] is None for m in rule.matches):
             compiled.append((rule.name, None, []))  # impossible on this schema
@@ -260,22 +342,35 @@ def matched_rule_pandas(
             "ignore", message="This pattern is interpreted as a regular expression"
         )
 
-        def contains(sub: pd.Series, pat: re.Pattern, use_arrow: bool) -> "np.ndarray":
+        def contains(sub: pd.Series, pat: object, mode: str) -> "np.ndarray":
             # Arrow's RE2 kernel is ~10× pandas str.contains; rules are
             # validated into the RE2-safe subset at load time
             # (rules.validate_pattern), and RE2 is the reference's own
             # engine — the Go regexp package. NULL → no-match, like na=False.
-            # The engine per pattern was decided ONCE at build time
-            # (use_arrow); an Arrow error here is a real bug and propagates
-            # loudly instead of silently switching regex dialects mid-batch.
-            if use_arrow:
-                # type=string(): an all-null slice infers the null type,
-                # which the regex kernel has no kernel for
-                hit = pc.match_substring_regex(
-                    pa.Array.from_pandas(sub, type=pa.string()), pat.pattern
-                ).to_numpy(zero_copy_only=False)
-                return np.where(pd.isna(hit), False, hit).astype(bool)
-            return sub.str.contains(pat, na=False).to_numpy(dtype=bool)
+            # The engine per pattern was decided ONCE at build time;
+            # an Arrow error here is a real bug and propagates loudly
+            # instead of silently switching regex dialects mid-batch.
+            # Literal-shaped patterns (classify_pattern) skip the regex
+            # machine entirely via Arrow's plain string kernels.
+            if mode == "re":
+                return sub.str.contains(pat, na=False).to_numpy(dtype=bool)
+            # type=string(): an all-null slice infers the null type,
+            # which these kernels have no kernel for
+            arr = pa.Array.from_pandas(sub, type=pa.string())
+            if mode == "arrow":
+                hit = pc.match_substring_regex(arr, pat.pattern)
+            elif mode == "contains":
+                hit = pc.match_substring(arr, pat)
+            elif mode == "startswith":
+                hit = pc.starts_with(arr, pat)
+            elif mode == "endswith":
+                hit = pc.ends_with(arr, pat)
+            elif mode == "equals":
+                hit = pc.equal(arr, pat)
+            else:  # isin
+                hit = pc.is_in(arr, value_set=pa.array(pat, type=pa.string()))
+            hit = hit.to_numpy(zero_copy_only=False)
+            return np.where(pd.isna(hit), False, hit).astype(bool)
 
         n = len(series[0]) if series else 0
         result = pd.Series([None] * n, dtype=object)

@@ -186,9 +186,15 @@ def transcripts_from_events(
     structure-aware, correct on arbitrary JSON."""
     if extractor not in ("regex", "json"):
         raise ValueError(f"extractor must be regex|json, got {extractor!r}")
-    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView(
-        "events"
-    )
+    from ctlp_spark.sources.io import fan_out_scan
+
+    # fan_out_scan: the testdata tables are single-row-group parquet, so
+    # the scan is ONE task — without this, the k-extraction regex and the
+    # whole text/role derivation below run on one core (they sit below
+    # the window exchange in the plan); no-op on multi-split inputs
+    fan_out_scan(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    ).createOrReplaceTempView("events")
     return spark.sql(
         TRANSCRIPTS_SQL_SPARK if extractor == "regex"
         else TRANSCRIPTS_SQL_SPARK_JSON

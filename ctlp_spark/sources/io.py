@@ -57,6 +57,37 @@ def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def fan_out_scan(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Scale-adaptive scan fan-out (optimization guide §2: derive
+    partitioning from the input, never a constant): when a scan yields
+    fewer partitions than the session's parallelism — e.g. a small table
+    written as ONE parquet row group, which Spark cannot split, so every
+    per-row kernel downstream would run on ONE core — insert a
+    round-robin repartition to the session's default parallelism. At
+    real scale a table has many row groups and this is a NO-OP (no
+    exchange added); the repartition is deterministic (Spark sorts
+    before round-robin, SPARK-23207) and no operator in this repo
+    depends on incidental row order.
+
+    The partition-count probe is plan-time metadata (file splits), not a
+    job — but the RDD-conversion py4j round-trip costs ~1 s cold, so the
+    count is memoized per input-file set (a partition COUNT, never
+    data)."""
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    key = tuple(sorted(df.inputFiles()))
+    n = _SCAN_PARTITIONS.get(key)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        _SCAN_PARTITIONS[key] = n
+    if n >= target:
+        return df
+    return df.repartition(target)
+
+
+_SCAN_PARTITIONS: dict[tuple, int] = {}
+
+
 def with_lineage(df: DataFrame) -> DataFrame:
     """Per-partition lineage: which input file produced each row (north
     rule). Iceberg would give this via its metadata tables; on parquet we

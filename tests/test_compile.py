@@ -193,3 +193,49 @@ def test_pandas_non_re2_pattern_warns_at_build_and_still_matches(spark):
         ]
     by_idx = {r["turn_idx"]: r["matched_rule"] for r in tagged.collect()}
     assert by_idx == {0: "z", 1: None}
+
+
+def test_classify_pattern_literal_kinds():
+    """The literal fast-path classifier must only claim patterns that are
+    pure literals modulo ^/$ anchors, and must classify them under RE2
+    anchor semantics (the project dialect)."""
+    from ctlp_spark.plans.compile import classify_pattern
+
+    assert classify_pattern("ERROR: timeout") == ("contains", "ERROR: timeout")
+    assert classify_pattern("^You are") == ("startswith", "You are")
+    assert classify_pattern("ms$") == ("endswith", "ms")
+    assert classify_pattern("^tool$") == ("equals", "tool")
+    assert classify_pattern("^(search|browser)$") == (
+        "isin", ["search", "browser"]
+    )
+    # anything with regex syntax must fall back to the regex engine
+    for pat in [
+        "^(a|b)", "a.b", "x+", "ab?", "a\\d", "[ab]", "a{2}", "(a)",
+        "^$", "", "^", "$", "a|b", "^(a||b)$", "^(a|b\\))$",
+    ]:
+        assert classify_pattern(pat) is None, pat
+
+
+def test_literal_fast_path_matches_rlike(spark):
+    """Native-compiler literal predicates must agree with the regex
+    engine on matching rows for the fixture rule shapes (including NULL
+    propagation)."""
+    from pyspark.sql import functions as F
+
+    from ctlp_spark.plans.compile import _native_match
+
+    df = spark.createDataFrame(
+        [("tool",), ("tools",), ("a tool",), ("ERROR: timeout now",),
+         ("You are kind",), ("say You are",), ("search",), ("browser",),
+         ("browse",), ("",), (None,)],
+        "s string",
+    )
+    for pat in ["^tool$", "ERROR: timeout", "^You are",
+                "^(search|browser)$", "timeout now$"]:
+        got = df.select(
+            F.coalesce(_native_match(F.col("s"), pat), F.lit(False)).alias("m")
+        ).collect()
+        want = df.select(
+            F.coalesce(F.col("s").rlike(pat), F.lit(False)).alias("m")
+        ).collect()
+        assert got == want, pat

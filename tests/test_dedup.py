@@ -975,3 +975,35 @@ def test_neardup_increment_bad_bucket_mode_raises(spark):
     with pytest.raises(ValueError, match="bucket_mode"):
         D.merge_neardup_manifest(man, inc, man["assignments"],
                                  bucket_mode="nope")
+
+
+def test_all_pairs_entry_points_warn_on_hot_buckets(spark):
+    """VERDICT r05 #3: the three all_pairs blocking entry points accept
+    the manifest's warn_bucket_size pre-flight; a mega-bucket corpus
+    warns, default (None) stays silent and row-identical."""
+    import warnings
+
+    from ctlp_spark.functions import ann as A
+    from ctlp_spark.functions import dedup as D
+
+    docs = spark.createDataFrame(
+        [(i, "same text every time here") for i in range(30)],
+        "doc_id bigint, text string",
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3)] * 64, 1) for i in range(30)],
+        "vec_id bigint, embedding array<double>, label int",
+    )
+    for fn in (
+        lambda w: D.lsh_candidate_pairs(docs, warn_bucket_size=w),
+        lambda w: D.simhash_near_pairs(docs, warn_bucket_size=w),
+        lambda w: A.embedding_neardup_pairs(emb, warn_bucket_size=w),
+    ):
+        with warnings.catch_warnings(record=True) as got:
+            warnings.simplefilter("always")
+            fn(5).collect()
+        assert any("quadratic" in str(w.message) for w in got)
+        with warnings.catch_warnings(record=True) as got:
+            warnings.simplefilter("always")
+            fn(None).collect()
+        assert not [w for w in got if "quadratic" in str(w.message)]

@@ -197,16 +197,21 @@ def test_curation_plan_is_id_keyed_joins_only(spark):
 
 
 def test_repetition_signals_no_cartesian_partial_agg(spark):
-    """t12 is two explode→groupBy chains joined on the doc id: gram
-    aggregation must be map-side combined and the final join id-keyed —
-    any nested-loop/Cartesian is a regression."""
+    """t12: gram multiplicity is a within-document property. The default
+    arrow kernel must be ONE batched Arrow pass riding the scan — no
+    exchange at all; the expr twin stays two explode→groupBy chains with
+    map-side-combined aggregation and an id-keyed join — any
+    nested-loop/Cartesian is a regression."""
     from ctlp_spark.functions import text as X
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     plan = _plan(X.repetition_signals(docs))
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
-    assert "HashAggregate" in plan
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan
+    expr_plan = _plan(X.repetition_signals(docs, kernel="expr"))
+    assert "CartesianProduct" not in expr_plan
+    assert "BroadcastNestedLoopJoin" not in expr_plan
+    assert "HashAggregate" in expr_plan
 
 
 def test_exact_dedup_skew_safe_no_window(spark):
@@ -367,3 +372,23 @@ def test_neardup_increment_skew_safe_shapes(spark):
     assert "CartesianProduct" not in ver_plan
     assert "BroadcastNestedLoopJoin" not in ver_plan
     assert "Window" not in ver_plan, ver_plan
+
+
+def test_token_shards_offset_carry_is_distributed(spark):
+    """t6's bucket-offset carry must never cross the driver: the offsets
+    relation is built FROM the totals DataFrame (window over one row per
+    bucket) and broadcast-joined back — the old collect-and-loop carry
+    pulled n_docs/bucket_span rows through the driver (~10^9 at design
+    scale). Gate: no .collect() in the function body, and the offsets
+    attach via a broadcast hash join."""
+    import inspect
+
+    from ctlp_spark.functions.packing import token_budget_shards
+
+    assert ".collect()" not in inspect.getsource(token_budget_shards)
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(50)],
+        "doc_id bigint, text string",
+    )
+    plan = _plan(token_budget_shards(docs, bucket_span=10))
+    assert "BroadcastHashJoin" in plan, plan

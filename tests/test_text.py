@@ -225,3 +225,25 @@ def test_tfidf_increment_equals_full_restricted(spark):
     want = sorted(map(tuple, tfidf_top_terms(docs, k=5).where(
         F.col("doc_id") % 10 >= 8).collect()))
     assert got == want and len(got) > 0
+
+
+def test_repetition_kernels_equal(spark):
+    """The arrow repetition kernel (one batched pass) must equal the
+    explode/groupBy expr twin row-for-row — including short docs (single
+    whole-text gram), empty strings, repeated grams, and NULL text
+    (dropped by both)."""
+    from ctlp_spark.functions.text import repetition_signals
+
+    rows = [
+        (1, "a b c d e f g a b c d e"),
+        (2, "x x x x x x x x"),
+        (3, "one two"),
+        (4, ""),
+        (5, None),
+        (6, "a"),
+        (7, "w1 w2 w3 w4 w5 w1 w2 w3 w4 w5 tail"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    a = sorted(map(tuple, repetition_signals(docs, kernel="arrow").collect()))
+    e = sorted(map(tuple, repetition_signals(docs, kernel="expr").collect()))
+    assert a == e and len(a) == 6
