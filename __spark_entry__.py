@@ -37,15 +37,22 @@ from ctlp_spark.sources.events_view import (
 SF0001 = "/root/testdata/sf0.001"
 
 
-def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+def _read(
+    spark: SparkSession, sf_dir: str, table: str,
+    keys: list[str] | None = None,
+) -> DataFrame:
     """Read a testdata table with the scale-adaptive scan fan-out
     (sources/io.fan_out_scan): the driver tables are single-row-group
     parquet files, which Spark cannot split — without the fan-out every
     per-row kernel (shingling, signatures, Arrow UDFs) downstream of the
-    scan runs on ONE core. No-op on inputs that already scan wide."""
+    scan runs on ONE core. No-op on inputs that already scan wide.
+    ``keys``: hash fan-out reused by a downstream shuffle on the same
+    columns (see fan_out_scan)."""
     from ctlp_spark.sources.io import fan_out_scan
 
-    return fan_out_scan(spark.read.parquet(f"{sf_dir}/{table}.parquet"))
+    return fan_out_scan(
+        spark.read.parquet(f"{sf_dir}/{table}.parquet"), keys=keys
+    )
 
 # ---------------------------------------------------------------------------
 # shared pieces
@@ -356,16 +363,27 @@ def q_t4_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation joins the batch). The increment merges its own term
     contributions first, so 'inc' rows equal the 'full' rows of those
     docs by construction — which is exactly what the oracle encodes."""
+    from ctlp_spark.functions import dedup as D
     from ctlp_spark.functions import text as X
 
     docs = _read(spark, sf_dir, "documents")
-    full = X.tfidf_top_terms(docs, k=5).select(
+    # ONE tokenize+count pass serves both arms (the d8 shared-relation
+    # pattern): tf rows are per-doc, so the corpus/increment slices of
+    # the whole-corpus relation are bit-identical to per-arm recomputes —
+    # uncached, each arm re-tokenizes its doc slice (~2× corpus work).
+    tf_all = D.cache_shared(X.tf_rows(docs))
+    full = X.tfidf_top_terms(docs, k=5, tf=tf_all).select(
         F.lit("full").alias("part"), "doc_id", "rank", "term", "tf",
         "score_milli",
     )
     corpus = docs.where(F.col("doc_id") % 10 < 8)
     inc = docs.where(F.col("doc_id") % 10 >= 8)
-    incd = X.tfidf_increment(inc, X.df_manifest(corpus), k=5).select(
+    incd = X.tfidf_increment(
+        inc,
+        X.df_manifest(corpus, tf=tf_all.where(F.col("doc") % 10 < 8)),
+        k=5,
+        tf=tf_all.where(F.col("doc") % 10 >= 8),
+    ).select(
         F.lit("inc").alias("part"), "doc_id", "rank", "term", "tf",
         "score_milli",
     )
@@ -597,7 +615,9 @@ def q_c10_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta > gap with end = last_ts + gap."""
     from ctlp_spark.streaming.stream import session_window_stats
 
-    events = _read(spark, sf_dir, "events")
+    # keys=user_id: the session-window aggregation clusters by user_id,
+    # so the keyed fan-out is reused (one exchange — the p5 pattern)
+    events = _read(spark, sf_dir, "events", keys=["user_id"])
     return session_window_stats(events, gap="8 hours", key_col="user_id")
 
 
@@ -1075,14 +1095,28 @@ def q_d8_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh60 = D.cache_shared(D.sh60_rows(docs))
     bands_all = D.cache_shared(D.band_rows(docs, sh60=sh60))
     feats_all = D.cache_shared(D._feature_sets(docs, sh60=sh60))
-    # string shingle sets, shared by the full and corpus verify passes
-    # (the 'inc' arm verifies in the 60-bit hash space per its contract)
+    # string shingle sets for the ONE verify pass below (the 'inc' arm
+    # verifies in the 60-bit hash space per its contract)
     sets_all = D.cache_shared(
         D.shingle_rows(docs)
         .groupBy("doc")
         .agg(F.collect_set("sh").alias("sh"))
     )
-    full = D.neardup_groups(docs, bands=bands_all, sets=sets_all).select(
+    # ONE blocking+verification pass serves both the full arm and the
+    # manifest bootstrap: in all_pairs mode the corpus slice's verified
+    # pairs are exactly the whole-corpus pairs restricted to corpus ids
+    # (band keys and per-pair Jaccard are subset-stable — the
+    # neardup_groups `pairs` contract), so the 80%-corpus candidate join
+    # + string-set verify that the bootstrap used to re-run is a filter
+    # on this checkpointed relation instead.
+    pairs_all = (
+        D.neardup_pipeline(docs, bands=bands_all, sets=sets_all)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    full = D.neardup_groups(
+        docs, bands=bands_all, sets=sets_all, pairs=pairs_all
+    ).select(
         F.lit("full").alias("part"),
         "doc_id",
         "group_id",
@@ -1096,8 +1130,17 @@ def q_d8_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus,
         bands=bands_all.where(F.col("doc") % 10 < 8),
         features=feats_all.where(F.col("doc") % 10 < 8),
-        sets=sets_all.where(F.col("doc") % 10 < 8),
+        pairs=pairs_all.where(
+            (F.col("doc_a") % 10 < 8) & (F.col("doc_b") % 10 < 8)
+        ),
     )
+    # cached: neardup_increment references the prior assignments FOUR
+    # times (pair-touched labels, the left-anti re-decide guard, the
+    # post-increment sizes union, the known-group set) — uncached, each
+    # reference re-runs the corpus pairs→verify→connected-components
+    # chain (the persisted-manifest workflow reads it back from parquet;
+    # this fused query must materialize it instead).
+    manifest["assignments"] = D.cache_shared(manifest["assignments"])
     incd = D.neardup_increment(
         inc,
         manifest,

@@ -425,18 +425,66 @@ def ngram_jaccard_pairs(
     # derived from the session's parallelism, never a constant.
     spark = docs.sparkSession
     width = 2 * spark.sparkContext.defaultParallelism
-    pairs = (
-        sh.alias("a")
-        .join(sh.alias("b"), on="sh")
+    # Exact LENGTH filter inside the join condition: jaccard <=
+    # sz_min/sz_max (inter <= sz_min, union >= sz_max), so a pair with
+    # sz_min·1e6 < threshold·sz_max can NEVER reach the threshold —
+    # pruned per emitted join row, BEFORE the pair exchange (the query's
+    # dominant cost). sz rides each side via a broadcast of the tiny
+    # per-doc size relation and is dropped again pre-exchange.
+    shw = sh.join(F.broadcast(sizes), "doc")
+    # Explicit broadcast of the build side: the bare cached sh relation
+    # was already auto-broadcast here (the pre-r06 physical plan), but
+    # wrapping it with the sz attachment pushes its size ESTIMATE past
+    # the auto threshold and the whole cascade degraded to sort-merge
+    # joins with full pair-stream exchanges (measured 60 s vs 23 s).
+    # Legal at this operator's scale by contract: d2 is the small-SF
+    # ground truth; the 100 TB path is d7 (docstring above).
+    joined = (
+        shw.alias("a")
+        .join(F.broadcast(shw.alias("b")), on="sh")
         .where(F.col("a.doc") < F.col("b.doc"))
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .repartition(width, "doc_a", "doc_b")
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
+        .where(
+            F.least(F.col("a.sz"), F.col("b.sz")) * 1_000_000
+            >= F.lit(threshold_ppm) * F.greatest(F.col("a.sz"), F.col("b.sz"))
+        )
     )
+    # Pack the pair into ONE bigint when ids fit 31 bits (checked at
+    # run time on the cached shingle relation — a ~0.1 s aggregate that
+    # also materializes the cache): halves the exchanged bytes per pair
+    # row and turns the aggregate key into a single long. Fallback keeps
+    # the two-column spelling for arbitrary 64-bit ids. Physical-plan
+    # change only — the unpacked (doc_a, doc_b, inter) rows are
+    # identical either way.
+    bounds = sh.agg(F.min("doc"), F.max("doc")).first()
+    ids_fit = (
+        bounds[0] is not None and bounds[0] >= 0 and bounds[1] < (1 << 31)
+    )
+    if ids_fit:
+        pairs = (
+            joined.select(
+                (F.shiftleft(F.col("a.doc"), 32) + F.col("b.doc")).alias("pk")
+            )
+            .repartition(width, "pk")
+            .groupBy("pk")
+            .agg(F.count("*").alias("inter"))
+            .select(
+                F.shiftright(F.col("pk"), 32).alias("doc_a"),
+                F.col("pk").bitwiseAND(F.lit((1 << 32) - 1)).alias("doc_b"),
+                "inter",
+            )
+        )
+    else:
+        pairs = (
+            joined.select(
+                F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b")
+            )
+            .repartition(width, "doc_a", "doc_b")
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("inter"))
+        )
     return (
-        pairs.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        pairs.join(F.broadcast(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a")), "doc_a")
+        .join(F.broadcast(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b")), "doc_b")
         .withColumn("union_sz", F.col("sz_a") + F.col("sz_b") - F.col("inter"))
         .withColumn(
             "jaccard_ppm",
@@ -1139,10 +1187,22 @@ def neardup_groups(
     driver_threshold: int = 20_000,
     bands: DataFrame | None = None,
     sets: DataFrame | None = None,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end dedup decision: LSH→verify near-dup pairs → connected
     components → per-doc (group_id, group_size, is_canonical). Keep rows
     where is_canonical; at 100 TB this is THE final dedup operator.
+
+    ``pairs``: optionally pass an already-VERIFIED (doc_a, doc_b) pair
+    relation (materialized; the caller owns checkpointing) instead of
+    running blocking+verification here. Caller contract: the relation
+    must equal this function's own all_pairs pipeline output over
+    ``docs`` — e.g. a slice of a whole-corpus verified pair list
+    restricted to this doc subset, which is bit-identical because both
+    candidate generation and per-pair verification are subset-stable in
+    all_pairs mode (a corpus-only pair's band keys and Jaccard don't
+    depend on other docs). NOT valid for chain mode, where the bucket
+    min depends on the doc subset.
     ``bucket_mode="chain"`` caps a boilerplate mega-cluster's candidates
     at O(m) per bucket — lossless when members verify against the bucket
     min (recall contract in ``lsh_candidate_pairs``).
@@ -1157,10 +1217,11 @@ def neardup_groups(
     never the corpus-sized node list — so the gate bounds driver memory
     regardless of corpus size; set ``driver_threshold=0`` to force the
     distributed path. Engine equality is pinned in tests/test_dedup.py."""
-    pairs = neardup_pipeline(
-        docs, n, threshold_ppm, id_col, text_col, bucket_mode=bucket_mode,
-        bands=bands, sets=sets,
-    ).select("doc_a", "doc_b").localCheckpoint()
+    if pairs is None:
+        pairs = neardup_pipeline(
+            docs, n, threshold_ppm, id_col, text_col, bucket_mode=bucket_mode,
+            bands=bands, sets=sets,
+        ).select("doc_a", "doc_b").localCheckpoint()
     nodes = docs.select(F.col(id_col).alias("doc"))
     if pairs.count() <= driver_threshold:
         cc = _components_via_driver(nodes, pairs)
@@ -1445,6 +1506,7 @@ def neardup_manifest(
     bands: DataFrame | None = None,
     features: DataFrame | None = None,
     sets: DataFrame | None = None,
+    pairs: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Bootstrap the near-dup manifest from a corpus: the ``neardup_groups``
     decision (assignments), the LSH bucket state, and the feature store —
@@ -1471,7 +1533,10 @@ def neardup_manifest(
     ``bands`` / ``features``: optionally pass already-materialized
     :func:`band_rows` / :func:`_feature_sets` relations (e.g. cached
     slices of a whole-corpus computation) so the MinHash/shingle kernels
-    are not re-run here; callers own their materialization."""
+    are not re-run here; callers own their materialization. ``pairs``:
+    optionally pass the already-verified pair relation (forwarded to
+    :func:`neardup_groups` — see its subset-stability contract; all_pairs
+    mode only) so candidate generation + verification are not re-run."""
     if bands is None:
         bands = band_rows(docs, n, id_col, text_col).localCheckpoint()
     if bucket_mode == "all_pairs" and warn_bucket_size is not None:
@@ -1482,7 +1547,7 @@ def neardup_manifest(
     assignments = neardup_groups(
         docs, n, threshold_ppm, id_col, text_col,
         bucket_mode=bucket_mode, driver_threshold=driver_threshold,
-        bands=bands, sets=sets,
+        bands=bands, sets=sets, pairs=pairs,
     ).select(F.col(id_col).alias("doc_id"), "group_id")
     if features is None:
         features = _feature_sets(docs, n, id_col, text_col)

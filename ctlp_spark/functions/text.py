@@ -254,9 +254,22 @@ def lang_id_frame(docs, id_col: str = "doc_id", text_col: str = "text"):
     )
 
 
+def tf_rows(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """(doc, term, tf) — the ONE tokenize+count pass every tf·idf-family
+    consumer derives from (tfidf_top_terms' tf, df_manifest's distinct
+    (doc, term) via groupBy, tfidf_increment's batch tf). Computing this
+    once and sharing it (cache) replaces one full tokenize+shuffle pass
+    per consumer — the d8 ``bands``/``sets`` pattern."""
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(norm_text(F.col(text_col)), " ")).alias("term"),
+    ).where(F.col("term") != "")
+    return toks.groupBy("doc", "term").agg(F.count("*").alias("tf"))
+
+
 def tfidf_top_terms(
     docs, k: int = 5, id_col: str = "doc_id", text_col: str = "text",
-    broadcast_vocab: bool = True,
+    broadcast_vocab: bool = True, tf=None,
 ):
     """Per-doc top-k terms by tf·idf, in EXACT integer arithmetic so both
     engines hash identically: idf_milli = (N·1000) div df (a rational
@@ -272,12 +285,13 @@ def tfidf_top_terms(
     (doc, term) tf row keyed by term — stop words are the hottest keys
     in the table. Pass False for web-scale vocabularies (unbounded
     token sets) to fall back to the shuffle hash join, where AQE's
-    skew-join splits the stop-word partitions."""
-    toks = docs.select(
-        F.col(id_col).alias("doc"),
-        F.explode(F.split(norm_text(F.col(text_col)), " ")).alias("term"),
-    ).where(F.col("term") != "")
-    tf = toks.groupBy("doc", "term").agg(F.count("*").alias("tf"))
+    skew-join splits the stop-word partitions.
+
+    ``tf``: optionally pass an already-materialized :func:`tf_rows`
+    relation over ``docs`` (caller owns caching) so the tokenize+count
+    pass is not re-run here."""
+    if tf is None:
+        tf = tf_rows(docs, id_col, text_col)
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n"))
     scored = (
@@ -310,7 +324,7 @@ def tfidf_top_terms(
     )
 
 
-def df_manifest(docs, id_col: str = "doc_id", text_col: str = "text"):
+def df_manifest(docs, id_col: str = "doc_id", text_col: str = "text", tf=None):
     """Document-frequency MANIFEST: the persisted text-pipeline state the
     tf·idf increment scores against — one (term, df) row per distinct
     term plus one ``term = ''`` row carrying the corpus DOCUMENT COUNT
@@ -321,16 +335,26 @@ def df_manifest(docs, id_col: str = "doc_id", text_col: str = "text"):
     HLL/CMS/hist sketches and the dedup fingerprint manifest.
 
     One (doc, term) distinct + one map-side-combined groupBy — no
-    windows, no joins."""
-    toks = docs.select(
-        F.col(id_col).alias("doc"),
-        F.explode(F.split(norm_text(F.col(text_col)), " ")).alias("term"),
-    ).where(F.col("term") != "")
-    dfreq = (
-        toks.distinct()
-        .groupBy("term")
-        .agg(F.count("*").alias("df"))
-    )
+    windows, no joins.
+
+    ``tf``: optionally pass an already-materialized :func:`tf_rows`
+    relation over ``docs`` — it carries exactly one row per distinct
+    (doc, term), so the per-term df is its plain groupBy count and the
+    tokenize+distinct pass is skipped. (The corpus doc count still comes
+    from ``docs``: a doc with no tokens counts toward N but has no tf
+    rows.)"""
+    if tf is not None:
+        dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    else:
+        toks = docs.select(
+            F.col(id_col).alias("doc"),
+            F.explode(F.split(norm_text(F.col(text_col)), " ")).alias("term"),
+        ).where(F.col("term") != "")
+        dfreq = (
+            toks.distinct()
+            .groupBy("term")
+            .agg(F.count("*").alias("df"))
+        )
     n = docs.agg(F.count("*").alias("df")).select(
         F.lit("").alias("term"), "df"
     )
@@ -354,6 +378,7 @@ def tfidf_increment(
     id_col: str = "doc_id",
     text_col: str = "text",
     broadcast_vocab: bool = True,
+    tf=None,
 ):
     """Per-doc top-k tf·idf for an INCREMENT of documents, scored against
     the corpus df manifest — the daily-ingest text pipeline: corpus TEXT
@@ -367,17 +392,18 @@ def tfidf_increment(
     union's DuckDB twin). Scale shape mirrors :func:`tfidf_top_terms`:
     map-side-combined tf/df aggregates, broadcast vocab join by default
     (``broadcast_vocab=False`` for web-scale vocabularies), per-doc
-    bounded top-k window."""
+    bounded top-k window.
+
+    ``tf``: optionally pass the increment's already-materialized
+    :func:`tf_rows` relation — it then feeds BOTH the increment's own df
+    contribution and the scoring tf, skipping both tokenize passes."""
     full = merge_df_manifest(
-        manifest, df_manifest(inc_docs, id_col, text_col)
+        manifest, df_manifest(inc_docs, id_col, text_col, tf=tf)
     )
     dfreq = full.where(F.col("term") != "")
     n = full.where(F.col("term") == "").select(F.col("df").alias("n"))
-    toks = inc_docs.select(
-        F.col(id_col).alias("doc"),
-        F.explode(F.split(norm_text(F.col(text_col)), " ")).alias("term"),
-    ).where(F.col("term") != "")
-    tf = toks.groupBy("doc", "term").agg(F.count("*").alias("tf"))
+    if tf is None:
+        tf = tf_rows(inc_docs, id_col, text_col)
     scored = (
         tf.join(F.broadcast(dfreq) if broadcast_vocab else dfreq, "term")
         .crossJoin(F.broadcast(n))

@@ -77,6 +77,16 @@ def asof_join(
     overlap = set(value_cols) & set(left.columns)
     if overlap:
         raise ValueError(f"value_cols already exist on the left side: {overlap}")
+    # both physical strategies materialize _asof_* working columns and
+    # unconditionally drop them at the end — an input column with that
+    # prefix would be silently corrupted, so reject it up front
+    reserved = sorted(
+        c for c in {*left.columns, *right.columns} if c.startswith("_asof_")
+    )
+    if reserved:
+        raise ValueError(
+            f"input columns collide with the reserved _asof_ prefix: {reserved}"
+        )
     if time_bucket_us is not None and time_bucket_us <= 0:
         # div 0 yields NULL buckets — every row of a key would silently
         # collapse into one NULL-bucket partition, i.e. exactly the

@@ -191,9 +191,13 @@ def transcripts_from_events(
     # fan_out_scan: the testdata tables are single-row-group parquet, so
     # the scan is ONE task — without this, the k-extraction regex and the
     # whole text/role derivation below run on one core (they sit below
-    # the window exchange in the plan); no-op on multi-split inputs
+    # the window exchange in the plan); no-op on multi-split inputs.
+    # keys=user_id: the first downstream shuffle is the turn_idx window
+    # partitioned by user_id, so a HASH fan-out on that key is reused by
+    # the window (ONE exchange for the whole derivation instead of a
+    # round-robin exchange followed by the window exchange).
     fan_out_scan(
-        spark.read.parquet(f"{sf_dir}/events.parquet")
+        spark.read.parquet(f"{sf_dir}/events.parquet"), keys=["user_id"]
     ).createOrReplaceTempView("events")
     return spark.sql(
         TRANSCRIPTS_SQL_SPARK if extractor == "regex"

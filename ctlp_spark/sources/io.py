@@ -57,24 +57,44 @@ def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-def fan_out_scan(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+def fan_out_scan(
+    df: DataFrame,
+    min_partitions: int | None = None,
+    keys: list[str] | None = None,
+) -> DataFrame:
     """Scale-adaptive scan fan-out (optimization guide §2: derive
     partitioning from the input, never a constant): when a scan yields
     fewer partitions than the session's parallelism — e.g. a small table
     written as ONE parquet row group, which Spark cannot split, so every
     per-row kernel downstream would run on ONE core — insert a
-    round-robin repartition to the session's default parallelism. At
-    real scale a table has many row groups and this is a NO-OP (no
-    exchange added); the repartition is deterministic (Spark sorts
-    before round-robin, SPARK-23207) and no operator in this repo
-    depends on incidental row order.
+    repartition to the session's parallelism. At real scale a table has
+    many row groups and this is a NO-OP (no exchange added); the
+    repartition is deterministic (round-robin sorts before partitioning,
+    SPARK-23207; hash partitioning is deterministic per key) and no
+    operator in this repo depends on incidental row order.
+
+    ``keys``: when the first downstream shuffle is keyed (a window or
+    aggregation on these columns), fan out by HASH on the keys to the
+    session's shuffle partition count instead of round-robin — the
+    downstream exchange then reuses this partitioning
+    (ENSURE_REQUIREMENTS is already satisfied) and the plan carries ONE
+    exchange instead of two, with the per-row derivation work still on
+    every core. Skew bound is unchanged: it is the downstream key's own
+    skew either way.
 
     The partition-count probe is plan-time metadata (file splits), not a
     job — but the RDD-conversion py4j round-trip costs ~1 s cold, so the
     count is memoized per input-file set (a partition COUNT, never
     data)."""
     spark = df.sparkSession
-    target = min_partitions or spark.sparkContext.defaultParallelism
+    if keys:
+        # match the downstream exchange's partition count exactly so the
+        # partitioning satisfies ENSURE_REQUIREMENTS and is reused
+        target = min_partitions or int(
+            spark.conf.get("spark.sql.shuffle.partitions")
+        )
+    else:
+        target = min_partitions or spark.sparkContext.defaultParallelism
     key = tuple(sorted(df.inputFiles()))
     n = _SCAN_PARTITIONS.get(key)
     if n is None:
@@ -82,6 +102,8 @@ def fan_out_scan(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
         _SCAN_PARTITIONS[key] = n
     if n >= target:
         return df
+    if keys:
+        return df.repartition(target, *[F.col(k) for k in keys])
     return df.repartition(target)
 
 

@@ -104,10 +104,17 @@ def compact_manifest_deltas(spark: SparkSession, out_dir: str) -> int:
     excluded correctly only for ids above the compacted one. The folded
     row keeps the merged first-writer keeper, so reconstruction after
     compaction is unchanged (pinned in tests). Returns the batch id the
-    state was folded into."""
+    state was folded into, or -1 when no committed deltas exist (no-op)."""
     root = os.path.join(out_dir, "manifest_delta")
+    # no committed batches yet (same existence check as dedup_manifest_at):
+    # nothing to fold — spark.read.parquet on a missing/empty root would
+    # raise an opaque PATH_NOT_FOUND / unable-to-infer-schema error
+    if not (os.path.isdir(root) and any(os.scandir(root))):
+        return -1
     deltas = spark.read.parquet(root)
     top = deltas.agg(F.max("batch")).collect()[0][0]
+    if top is None:  # delta dirs exist but hold zero rows
+        return -1
     # materialize BEFORE deleting the source partitions the fold reads
     folded = dedup_manifest_at(spark, out_dir).localCheckpoint()
     for entry in list(os.scandir(root)):

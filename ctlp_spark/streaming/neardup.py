@@ -145,7 +145,13 @@ def lsh_candidates_stateful(
         a_out: list[int] = []
         b_out: list[int] = []
         if chain:
-            cur_min = existing[0] if existing else None
+            # min(), not existing[0]: a checkpoint written under
+            # all_pairs holds the bucket's FULL id list in arrival
+            # order — resuming it in chain mode must chain through the
+            # true bucket min or the connectivity contract silently
+            # breaks. (Chain-written state is a 1-element [min], where
+            # the two spellings agree.)
+            cur_min = min(existing) if existing else None
             for nid in new_ids:
                 a_out.append(nid)
                 b_out.append(_ARRIVAL)

@@ -1,0 +1,145 @@
+"""Regenerate a driver-testdata-shaped sf directory for BENCHMARKING.
+
+The driver ships sf0.001/0.01/0.1 under /root/testdata and measured round 5
+at a driver-generated sf1.0 (BENCH_r05.json "sf": 1.0) that is not on disk.
+This script synthesizes an sf directory with the SAME schemas, scaling laws
+and distributions as the shipped SFs (verified against them in-line below),
+so optimization work can be measured at the driver's scale:
+
+* documents: n = 50_000·sf (floor 500). Word-soup over the 30-word vocab
+  observed in every shipped SF, uniform 10..100 tokens, lang ~ (en .4,
+  zh/es/fr .15, de .15), source = src(doc_id % 20), plus a 5% near-dup
+  tail (text of an earlier doc + " dup") — the shipped dup fraction.
+* events: n = 1_000_000·sf (floor 1_000). ts = cumsum of exponential
+  deltas spanning ~30 days from 2024-01-01 (shipped mean delta ·n ≈ 30 d),
+  user_id uniform over 15_000·sf (floor 15), event_type uniform over the
+  5 shipped types, value = round(Exp(50), 2), props = '{"k": <0..99>}'.
+* embeddings: n = 20_000·sf (floor 500). i.i.d. unit-normalized
+  float32[64] (shipped corpus: norms exactly 1.0, center norms equal the
+  no-structure sampling noise 0.125·8/sqrt(n_members)), label uniform 0..9.
+
+Only the three tables the declared queries/bench read are generated
+(documents, events, embeddings — __spark_entry__._read + bench.py). This
+is bench input, NOT oracle truth: correctness stays pinned to the shipped
+SFs (tests/test_entry_oracle.py).
+
+Usage: python scripts/gen_sfdir.py [sf] [outdir]   (default sf=1.0,
+outdir=/root/testdata/sf<sf>)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+VOCAB = np.array(
+    "a agg batch big column customer data fast filter group hash join key "
+    "line merge order part query row scan slow small sort spark stream "
+    "table the value vector window".split()
+)
+LANGS = np.array(["en", "zh", "es", "fr", "de"])
+LANG_P = [0.4, 0.15, 0.15, 0.15, 0.15]
+EVENT_TYPES = np.array(["click", "view", "purchase", "error", "signup"])
+
+
+def gen_documents(n: int, seed: int) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    lengths = rng.integers(10, 101, size=n)
+    # one big draw + slicing: 50k python joins dominate otherwise
+    flat = rng.integers(0, len(VOCAB), size=int(lengths.sum()))
+    offs = np.concatenate(([0], np.cumsum(lengths)))
+    texts = [
+        " ".join(VOCAB[flat[offs[i]:offs[i + 1]]]) for i in range(n)
+    ]
+    n_dup = n * 5 // 100
+    targets = rng.choice(np.arange(1, n), size=n_dup, replace=False)
+    for i in targets:
+        src = int(rng.integers(0, i))
+        texts[int(i)] = texts[src] + " dup"
+    langs = rng.choice(LANGS, size=n, p=LANG_P)
+    return pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "text": texts,
+        "lang": langs,
+        "source": np.char.add("src", (np.arange(n) % 20).astype(str)),
+        "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
+    })
+
+
+def gen_events(n: int, n_users: int, seed: int) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    span_s = 30 * 86400.0
+    deltas = rng.exponential(span_s / n, size=n)
+    ts_us = (np.cumsum(deltas) * 1e6).astype(np.int64)
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    k = rng.integers(0, 100, size=n)
+    return pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": base + ts_us.astype("timedelta64[us]"),
+        "user_id": rng.integers(0, n_users, size=n).astype(np.int64),
+        "event_type": rng.choice(EVENT_TYPES, size=n),
+        "value": np.round(rng.exponential(50.0, size=n), 2),
+        "props": np.array([f'{{"k": {v}}}' for v in k]),
+    })
+
+
+def gen_embeddings(n: int, seed: int) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    m = rng.standard_normal((n, 64))
+    m = (m / np.linalg.norm(m, axis=1, keepdims=True)).astype(np.float32)
+    return pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": list(m),
+        "label": rng.integers(0, 10, size=n).astype(np.int32),
+    })
+
+
+def main() -> None:
+    sf = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
+    out = (
+        sys.argv[2] if len(sys.argv) > 2
+        else f"/root/testdata/sf{sf:g}"
+    )
+    os.makedirs(out, exist_ok=True)
+    n_docs = max(500, int(50_000 * sf))
+    n_events = max(1_000, int(1_000_000 * sf))
+    n_users = max(15, int(15_000 * sf))
+    n_vecs = max(500, int(20_000 * sf))
+
+    docs = gen_documents(n_docs, seed=1207)
+    pq.write_table(
+        pa.Table.from_pandas(docs, preserve_index=False),
+        f"{out}/documents.parquet",
+    )
+    ev = gen_events(n_events, n_users, seed=1301)
+    tbl = pa.Table.from_pandas(ev, preserve_index=False)
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("ts"), "ts",
+        tbl.column("ts").cast(pa.timestamp("us")),
+    )
+    pq.write_table(tbl, f"{out}/events.parquet")
+    emb = gen_embeddings(n_vecs, seed=1409)
+    pq.write_table(
+        pa.Table.from_pandas(
+            emb,
+            schema=pa.schema([
+                ("vec_id", pa.int64()),
+                ("embedding", pa.list_(pa.float32())),
+                ("label", pa.int32()),
+            ]),
+            preserve_index=False,
+        ),
+        f"{out}/embeddings.parquet",
+    )
+    with open(f"{out}/_DONE", "w") as fh:
+        fh.write(f"sf={sf} docs={n_docs} events={n_events} vecs={n_vecs}\n")
+    print(f"wrote {out}: docs={n_docs} events={n_events} vecs={n_vecs}")
+
+
+if __name__ == "__main__":
+    main()

@@ -103,6 +103,29 @@ def test_asof_join_rejects_column_collision(spark):
         asof_join(df, df, keys=["k"], value_cols=["v"])
 
 
+def test_asof_join_rejects_reserved_prefix_columns(spark):
+    """Both strategies materialize and unconditionally drop _asof_*
+    working columns — an input column with that prefix would be silently
+    corrupted, so it is rejected up front (ADVICE r5)."""
+    import pytest
+
+    left = spark.createDataFrame(
+        [("a", _ts(0), 1)], "k string, ts timestamp_ntz, _asof_bkt int"
+    )
+    right = spark.createDataFrame(
+        [("a", _ts(0), 2)], "k string, ts timestamp_ntz, v int"
+    )
+    with pytest.raises(ValueError, match="_asof_"):
+        asof_join(left, right, keys=["k"], value_cols=["v"])
+    with pytest.raises(ValueError, match="_asof_"):
+        asof_join(
+            right.withColumnRenamed("v", "w"),
+            left.withColumnRenamed("_asof_bkt", "_asof_boundary"),
+            keys=["k"],
+            value_cols=["_asof_boundary"],
+        )
+
+
 def test_asof_bucketed_same_semantics(spark):
     """time_bucket_us splits these fixtures into multiple buckets (1-min
     buckets, rows minutes apart) — output must equal the direct path,

@@ -158,3 +158,12 @@ def test_compaction_preserves_state_and_contract(spark, dirs):
     _write_doc(src, 5, "y")
     _drain(spark, src, out, ckpt, per_trigger=1)
     assert _decisions(spark, out)[5] == (2, 2, False, False)
+
+
+def test_compaction_before_first_commit_is_noop(spark, dirs):
+    """No committed deltas yet: compaction returns -1 and touches nothing
+    (ADVICE r5 — the bare parquet read raised an opaque error)."""
+    _, out, _ = dirs
+    assert compact_manifest_deltas(spark, out) == -1
+    os.makedirs(os.path.join(out, "manifest_delta"), exist_ok=True)
+    assert compact_manifest_deltas(spark, out) == -1

@@ -271,6 +271,34 @@ def test_chain_mode_all_pairs_state_unbounded_contrast():
     assert state.get == ([1, 2, 3],)
 
 
+def test_chain_mode_resumes_all_pairs_state_through_min():
+    """A checkpoint written under all_pairs holds the bucket's FULL id
+    list in arrival order; resuming it in chain mode must chain through
+    the true bucket min (min(existing), not existing[0]) or connectivity
+    silently breaks (ADVICE r5)."""
+    from ctlp_spark.streaming.neardup import lsh_candidates_stateful
+
+    update = None
+
+    class _Probe:
+        def groupBy(self, *a):
+            return self
+
+        def applyInPandasWithState(self, fn, **kw):
+            nonlocal update
+            update = fn
+            return None
+
+    lsh_candidates_stateful(_Probe(), bucket_mode="chain")
+    state = _FakeState()
+    state.update(([7, 3, 9],))  # all_pairs state: arrival order, min is 3
+    out = pd.concat(update(None, [pd.DataFrame({"doc_id": [5]})], state))
+    assert {(int(a), int(b)) for a, b in zip(out.doc_a, out.doc_b)} == {
+        (5, -1), (3, 5)
+    }
+    assert state.get == ([3],)
+
+
 def test_streaming_chain_matches_batch_chain(spark, dirs):
     """chain-mode stream equals chain-mode batch d8 on a no-bridge corpus
     (running-min connectivity is transitive across micro-batches)."""
