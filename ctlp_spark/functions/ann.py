@@ -661,7 +661,8 @@ _CELL_PAIR_CHUNK = 1 << 21
 
 
 def _neardup_pairs_cell(
-    emb: DataFrame, threshold_ppm: int, pair_mode: str = "all_pairs"
+    emb: DataFrame, threshold_ppm: int, pair_mode: str = "all_pairs",
+    cell_splits: int | None = None,
 ) -> DataFrame:
     """Cell-local cosine pairs (see embedding_neardup_pairs "cell");
     ``pair_mode="chain"`` dots every member against the cell's min-id
@@ -670,8 +671,29 @@ def _neardup_pairs_cell(
     Bit-exactness: norms fold dims in index order per vector; pair dots
     fold dims in index order vectorized across pairs — the same IEEE op
     sequence per pair as the expression/DuckDB twins, so floor(1e6·cos)
-    matches exactly (fuzz-pinned in tests/test_ann_kernels.py)."""
+    matches exactly (fuzz-pinned in tests/test_ann_kernels.py).
+
+    ``cell_splits``: when the corpus has FEWER cells than the session has
+    cores, applyInPandas caps parallelism at one task per cell and most
+    of the machine idles while a few tasks enumerate O(m²) pairs. Each
+    cell's vectors are then replicated into ``cell_splits`` sub-groups
+    and each sub-task computes a round-robin stripe of the cell's pair
+    CHUNKS — per-chunk arithmetic is byte-identical to the unsplit
+    kernel (same chunk boundaries, same index-ordered fold), the stripes
+    are disjoint and cover all chunks, so the union of sub-outputs is
+    exactly the unsplit output (pinned in tests/test_ann_kernels.py).
+    Transfer grows to O(splits·n·d) — only worthwhile when cells are few
+    AND fat enough that pair-dot compute dominates the Arrow transfer.
+    Default 1 (off): at the bench scale (10 cells × 2k vectors) a
+    same-JVM interleaved A/B measured splits=4/8 at parity-to-slightly-
+    slower — per-cell kernel wall time is already small and the
+    replicated transfer + extra python-worker batches eat the
+    parallelism win. Reach for it when a profile shows a few cell TASKS
+    running long (e.g. 4 cells × 100k vectors on 32 cores)."""
     chain = pair_mode == "chain"
+    spark = emb.sparkSession
+    if chain or cell_splits is None:
+        cell_splits = 1  # chain is O(m·d) per cell — striping buys nothing
 
     def cell(key, pdf: pd.DataFrame) -> pd.DataFrame:
         m = len(pdf)
@@ -721,7 +743,14 @@ def _neardup_pairs_cell(
             ([0], np.cumsum(np.arange(m - 1, 0, -1)))
         )[:m]
         outs = []
-        for s in range(0, total, _CELL_PAIR_CHUNK):
+        # round-robin stripe of the cell's chunk sequence (sub-group i
+        # takes chunks i, i+k, i+2k, ...): chunk boundaries and per-chunk
+        # arithmetic identical to the unsplit kernel, stripes disjoint
+        sub = int(key[1]) if len(key) > 1 else 0
+        stripe = range(
+            sub * _CELL_PAIR_CHUNK, total, cell_splits * _CELL_PAIR_CHUNK
+        )
+        for s in stripe:
             t = np.arange(s, min(s + _CELL_PAIR_CHUNK, total))
             ca = np.searchsorted(starts, t, side="right") - 1
             cb = t - starts[ca] + ca + 1
@@ -746,6 +775,15 @@ def _neardup_pairs_cell(
                 }))
         return pd.concat(outs) if outs else empty
 
+    if cell_splits > 1:
+        subs = spark.range(cell_splits).select(
+            F.col("id").cast("int").alias("_sub")
+        )
+        return (
+            emb.crossJoin(F.broadcast(subs))
+            .groupBy("label", "_sub")
+            .applyInPandas(cell, schema=_CELL_SCHEMA)
+        )
     return emb.groupBy("label").applyInPandas(cell, schema=_CELL_SCHEMA)
 
 

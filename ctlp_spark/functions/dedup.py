@@ -184,7 +184,22 @@ def cache_shared(df: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def fp_rows(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, fp) — the ONE normalize+md5 fingerprint pass every
+    exact-dedup-family consumer derives from. Compute once, cache, and
+    slice (fingerprints are per-doc, so subset slices equal per-arm
+    recomputes — the d8/t4 shared-relation pattern)."""
+    return docs.select(
+        F.col(id_col), fingerprint_md5(F.col(text_col)).alias("fp")
+    )
+
+
+def exact_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    fp: DataFrame | None = None,
+) -> DataFrame:
     """Per-doc keep/drop decision: the lowest id in each normalized-text
     fingerprint group is canonical.
 
@@ -197,14 +212,16 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     entire hot group onto ONE task (the 100 TB straggler); plan-gated in
     tests/test_plans.py. The join key is NULL-SAFE so NULL-text docs (fp
     NULL) group together, matching the window/DuckDB PARTITION BY
-    semantics the oracle pins."""
+    semantics the oracle pins.
+
+    ``fp``: optionally pass an already-materialized :func:`fp_rows`
+    relation over ``docs`` (caller owns caching) so the normalize+md5
+    pass is not re-run here."""
     from ctlp_spark.functions.joins import null_safe_join
 
     # cached: the fingerprint projection feeds both the group aggregate
     # and the join back — uncached, the normalize+md5 pass runs twice
-    f = cache_shared(
-        docs.select(F.col(id_col), fingerprint_md5(F.col(text_col)).alias("fp"))
-    )
+    f = fp if fp is not None else cache_shared(fp_rows(docs, id_col, text_col))
     agg = f.groupBy("fp").agg(
         F.min(id_col).alias("keep_id"), F.count("*").alias("group_size")
     )
@@ -236,7 +253,8 @@ FROM f"""
 
 
 def exact_dedup_manifest(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    fp: DataFrame | None = None,
 ) -> DataFrame:
     """Bootstrap the corpus fingerprint MANIFEST: one row per distinct
     normalized-text fingerprint — ``(fp, keep_id, group_size)``. This is
@@ -245,12 +263,11 @@ def exact_dedup_manifest(
     this same aggregate back to the rows, so bootstrap-then-increment and
     whole-corpus dedup share one definition of the state.
 
-    One map-side-combined ``groupBy("fp")`` — no window, no join."""
+    One map-side-combined ``groupBy("fp")`` — no window, no join.
+    ``fp``: optional precomputed :func:`fp_rows` relation over ``docs``."""
+    f = fp if fp is not None else fp_rows(docs, id_col, text_col)
     return (
-        docs.select(
-            F.col(id_col), fingerprint_md5(F.col(text_col)).alias("fp")
-        )
-        .groupBy("fp")
+        f.groupBy("fp")
         .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("group_size"))
     )
 
@@ -260,6 +277,7 @@ def exact_dedup_increment(
     manifest: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    fp: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc keep/drop decision for a NEW batch of documents against the
     persisted fingerprint manifest — the daily-increment workflow at
@@ -279,12 +297,12 @@ def exact_dedup_increment(
     one fp-keyed null-safe hash join of that (per-distinct-content)
     aggregate against the manifest, one join back to the batch rows. fp
     is md5-uniform — no skew; NULL-text docs (fp NULL) group together
-    null-safely; no windows (plan-gated in tests/test_plans.py)."""
+    null-safely; no windows (plan-gated in tests/test_plans.py).
+    ``fp``: optional precomputed :func:`fp_rows` relation over the
+    increment."""
     from ctlp_spark.functions.joins import null_safe_join
 
-    f = increment.select(
-        F.col(id_col), fingerprint_md5(F.col(text_col)).alias("fp")
-    )
+    f = fp if fp is not None else fp_rows(increment, id_col, text_col)
     inc_agg = f.groupBy("fp").agg(
         F.min(id_col).alias("_inc_min"), F.count("*").alias("_inc_n")
     )
@@ -870,37 +888,55 @@ def _simhash_arrow(norm: pd.Series) -> pd.Series:
     """Arrow kernel for the SimHash signature — EXACT integer math (no
     IEEE ordering concerns): per doc, sum the distinct tokens' ±1 bit
     vectors (bit j of the md5 half-hashes) and pack sign bits with the
-    same bit-63 two's-complement as bitpack.BIT_VALUES. Token bit vectors
-    are memoized per worker (real corpora reuse a small vocabulary)."""
+    same bit-63 two's-complement as bitpack.BIT_VALUES.
+
+    Whole-batch vectorized (r06 — the per-doc python loop over memoized
+    token vectors cost ~44 µs/doc): split/explode in pandas C paths,
+    per-batch token dictionary via factorize, distinct (doc, token)
+    pairs via one packed np.unique, the ±1 sums via a scatter-add of the
+    token bit matrix, and the sign packing via an INTEGER matmul with
+    the 2^j vector (int64 matmul is exact — CLAUDE.md kernel rules; only
+    FLOAT kernels must keep the ordered fold). md5 runs once per NEW
+    distinct token per worker (memoized — real corpora reuse a small
+    vocabulary)."""
     import hashlib  # noqa: PLC0415
 
     memo = _simhash_arrow.__dict__.setdefault("_memo", {})
-
-    def vec(tok: str) -> np.ndarray:
+    n = len(norm)
+    if n == 0:
+        return pd.Series(np.empty(0, dtype=np.int64))
+    s = norm.reset_index(drop=True)
+    ex = s.str.split(" ").explode()
+    doc_idx = ex.index.to_numpy(dtype=np.int64)
+    codes, uniq = pd.factorize(ex.to_numpy())
+    nv = len(uniq)
+    # distinct (doc, token) pairs — set(s.split()) semantics
+    packed = doc_idx * nv + codes
+    uk = np.unique(packed)
+    d_i = uk // nv
+    c_i = uk % nv
+    # ±1 bit matrix, one row per batch-distinct token (md5 per NEW token)
+    bmat = np.empty((nv, SIMHASH_BITS), dtype=np.int64)
+    shifts = np.arange(32, dtype=np.uint32)
+    for t, tok in enumerate(uniq):
         v = memo.get(tok)
         if v is None:
             h = hashlib.md5(tok.encode()).hexdigest()
-            h1, h2 = int(h[:8], 16), int(h[8:16], 16)
-            bits = np.fromiter(
-                ((h1 >> j) & 1 for j in range(32)), dtype=np.int64, count=32
-            )
-            bits2 = np.fromiter(
-                ((h2 >> j) & 1 for j in range(32)), dtype=np.int64, count=32
-            )
-            v = 2 * np.concatenate([bits, bits2]) - 1
+            h1, h2 = np.uint32(int(h[:8], 16)), np.uint32(int(h[8:16], 16))
+            bits = np.concatenate(
+                [(h1 >> shifts) & 1, (h2 >> shifts) & 1]
+            ).astype(np.int64)
+            v = 2 * bits - 1
             if len(memo) < _SIMHASH_MEMO_CAP:
                 memo[tok] = v
-        return v
-
-    out = np.empty(len(norm), dtype=np.int64)
-    for i, s in enumerate(norm):
-        acc = np.zeros(SIMHASH_BITS, dtype=np.int64)
-        for tok in set(s.split(" ")):  # distinct, like array_distinct
-            acc = acc + vec(tok)
-        u = 0
-        for j in np.nonzero(acc > 0)[0]:
-            u |= 1 << int(j)
-        out[i] = u - (1 << 64) if u >= (1 << 63) else u
+        bmat[t] = v
+    acc = np.zeros((n, SIMHASH_BITS), dtype=np.int64)
+    np.add.at(acc, d_i, bmat[c_i])
+    pos = acc > 0
+    low = pos[:, :63].astype(np.int64) @ (
+        np.int64(1) << np.arange(63, dtype=np.int64)
+    )
+    out = low + np.where(pos[:, 63], np.int64(-(1 << 63)), np.int64(0))
     return pd.Series(out)
 
 

@@ -342,21 +342,55 @@ def matched_rule_pandas(
             "ignore", message="This pattern is interpreted as a regular expression"
         )
 
-        def contains(sub: pd.Series, pat: object, mode: str) -> "np.ndarray":
+        # Whole-column evaluation with per-batch memoization (r06): the
+        # old shape sliced the still-candidate rows per (rule, match) and
+        # re-converted each pandas slice to Arrow — at 4 rules that is up
+        # to ~6 string-buffer conversions + gather copies per batch, and
+        # a predicate shared by several rules was re-evaluated per rule.
+        # Each input column now converts to Arrow ONCE per batch, each
+        # distinct (column, pattern) predicate evaluates ONCE on the full
+        # column, and rules combine the cached boolean vectors. The
+        # predicates are pure, so full-column ∧-combination is row-for-row
+        # identical to masked early-exit evaluation (two-compiler
+        # equivalence stays fuzz-pinned in tests/test_property.py).
+        arrs: dict = {}
+
+        def arrow_col(i: int):
+            a = arrs.get(i)
+            if a is None:
+                # type=string(): an all-null column infers the null type,
+                # which these kernels have no kernel for
+                a = pa.Array.from_pandas(series[i], type=pa.string())
+                arrs[i] = a
+            return a
+
+        hits: dict = {}
+
+        def full_hits(col_i: int, pat: object, mode: str) -> "np.ndarray":
             # Arrow's RE2 kernel is ~10× pandas str.contains; rules are
             # validated into the RE2-safe subset at load time
             # (rules.validate_pattern), and RE2 is the reference's own
-            # engine — the Go regexp package. NULL → no-match, like na=False.
-            # The engine per pattern was decided ONCE at build time;
-            # an Arrow error here is a real bug and propagates loudly
-            # instead of silently switching regex dialects mid-batch.
-            # Literal-shaped patterns (classify_pattern) skip the regex
-            # machine entirely via Arrow's plain string kernels.
+            # engine — the Go regexp package. NULL → no-match, like
+            # na=False. The engine per pattern was decided ONCE at build
+            # time; an Arrow error here is a real bug and propagates
+            # loudly instead of silently switching regex dialects
+            # mid-batch. Literal-shaped patterns (classify_pattern) skip
+            # the regex machine entirely via Arrow's string kernels.
+            key = (
+                col_i, mode,
+                pat.pattern if mode in ("arrow", "re")
+                else tuple(pat) if isinstance(pat, list) else pat,
+            )
+            got = hits.get(key)
+            if got is not None:
+                return got
             if mode == "re":
-                return sub.str.contains(pat, na=False).to_numpy(dtype=bool)
-            # type=string(): an all-null slice infers the null type,
-            # which these kernels have no kernel for
-            arr = pa.Array.from_pandas(sub, type=pa.string())
+                got = series[col_i].str.contains(pat, na=False).to_numpy(
+                    dtype=bool
+                )
+                hits[key] = got
+                return got
+            arr = arrow_col(col_i)
             if mode == "arrow":
                 hit = pc.match_substring_regex(arr, pat.pattern)
             elif mode == "contains":
@@ -369,30 +403,31 @@ def matched_rule_pandas(
                 hit = pc.equal(arr, pat)
             else:  # isin
                 hit = pc.is_in(arr, value_set=pa.array(pat, type=pa.string()))
-            hit = hit.to_numpy(zero_copy_only=False)
-            return np.where(pd.isna(hit), False, hit).astype(bool)
+            got = hit.fill_null(False).to_numpy(zero_copy_only=False).astype(
+                bool
+            )
+            hits[key] = got
+            return got
 
         n = len(series[0]) if series else 0
-        result = pd.Series([None] * n, dtype=object)
+        result = np.full(n, None, dtype=object)
         unmatched = np.ones(n, dtype=bool)
         for name, matches, excludes in compiled:
             if matches is None or not unmatched.any():
                 continue
             mask = unmatched.copy()
-            for col_i, pat, use_arrow in matches:
+            for col_i, pat, mode in matches:
                 if not mask.any():
                     break
-                # evaluate only still-candidate rows (per-rule masking — the
-                # vectorized analogue of the early-exit loop)
-                mask[mask] = contains(series[col_i][mask], pat, use_arrow)
-            for col_i, pat, use_arrow in excludes:
+                mask &= full_hits(col_i, pat, mode)
+            for col_i, pat, mode in excludes:
                 if not mask.any():
                     break
-                mask[mask] = ~contains(series[col_i][mask], pat, use_arrow)
+                mask &= ~full_hits(col_i, pat, mode)
             if mask.any():
                 result[mask] = name
                 unmatched &= ~mask
-        return result
+        return pd.Series(result, dtype=object)
 
     if not fields:
         return F.lit(None).cast(T.StringType()).alias(MATCHED_RULE_COL)

@@ -89,6 +89,30 @@ def test_neardup_kernels_equal(emb):
     assert outs["expr"] == outs["arrow"] == outs["cell"]
 
 
+def test_neardup_cell_striping_equals_unsplit(emb):
+    """Striped cell kernel (few fat cells → sub-split each cell's pair
+    chunks across tasks) must equal the unsplit kernel exactly — the
+    stripes are disjoint chunk subsets with identical per-chunk
+    arithmetic (r06 optimization)."""
+    from ctlp_spark.functions.ann import _neardup_pairs_cell
+
+    base = sorted(
+        (r.vec_a, r.vec_b, r.label, r.cos_ppm)
+        for r in _neardup_pairs_cell(
+            emb, threshold_ppm=100_000, cell_splits=1
+        ).collect()
+    )
+    for k in (3, 7):
+        striped = sorted(
+            (r.vec_a, r.vec_b, r.label, r.cos_ppm)
+            for r in _neardup_pairs_cell(
+                emb, threshold_ppm=100_000, cell_splits=k
+            ).collect()
+        )
+        assert striped == base
+    assert len(base) > 0
+
+
 def test_topk_equal_across_kernels(emb):
     cols = ("q", "rank", "neighbor", "cos_ppm")
     expr = sorted(
