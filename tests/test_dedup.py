@@ -1007,3 +1007,48 @@ def test_all_pairs_entry_points_warn_on_hot_buckets(spark):
             warnings.simplefilter("always")
             fn(None).collect()
         assert not [w for w in got if "quadratic" in str(w.message)]
+
+
+@pytest.mark.slow
+def test_chain_groups_refine_all_pairs_groups_fuzz(spark):
+    """Chain-mode groups are always a REFINEMENT of all_pairs groups:
+    chain may split an all_pairs group (members that only verify against
+    each other, not the bucket min) but can never MERGE two all_pairs
+    groups — every chain edge (member, bucket-min) is a subset of the
+    all_pairs candidate set, so chain components are subgraph components
+    of the all_pairs graph. Randomized word-soup corpora drive both
+    modes and pin the refinement (the recall contract's other direction;
+    r5 VERDICT optional item — previously argued in the docstring and
+    pinned only on exact clusters)."""
+    import random
+
+    vocab = ["red", "blue", "green", "gold", "iron", "wolf", "moon", "star"]
+    for seed in range(6):
+        rng = random.Random(1000 + seed)
+        rows = []
+        for i in range(rng.randint(10, 24)):
+            k = rng.randint(3, 12)
+            rows.append((i, " ".join(rng.choice(vocab) for _ in range(k))))
+        # a planted exact cluster exercises the shared-bucket chain path
+        for i in range(30, 30 + rng.randint(2, 5)):
+            rows.append((i, "anchor tokens always identical here"))
+        docs_df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        allp = {
+            r.doc_id: r.group_id
+            for r in D.neardup_groups(docs_df, bucket_mode="all_pairs").collect()
+        }
+        chain = {
+            r.doc_id: r.group_id
+            for r in D.neardup_groups(docs_df, bucket_mode="chain").collect()
+        }
+        assert set(allp) == set(chain), f"seed {seed}: doc sets differ"
+        # refinement: two docs sharing a chain group share the all_pairs group
+        by_chain_group: dict = {}
+        for doc, g in chain.items():
+            by_chain_group.setdefault(g, []).append(doc)
+        for g, members in by_chain_group.items():
+            targets = {allp[d] for d in members}
+            assert len(targets) == 1, (
+                f"seed {seed}: chain group {g} ({members}) straddles "
+                f"all_pairs groups {targets}"
+            )
