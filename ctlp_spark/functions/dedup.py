@@ -426,11 +426,28 @@ def ngram_jaccard_pairs(
     """Exact Jaccard-similar pairs via shingle self-join. Outputs exact
     integer intersection/union sizes plus jaccard in ppm (integer division —
     engine-independent). At 100 TB this runs on LSH candidates only."""
-    sh = (
+    from pyspark.sql import Window
+
+    sh0 = (
         shingle_rows(docs, n, id_col, text_col)
         .distinct()  # set semantics: Jaccard is over DISTINCT shingles
-        .cache()  # reused 3× (both self-join sides + sizes); avoids re-shingling
     )
+    # Dictionary-encode the shingle STRING to a dense int id before the
+    # self-join (same-JVM A/B: ~20% off the whole query — the join's
+    # sort/hash/compare work on ~20-byte strings dominates its int
+    # twin). row_number over the sorted distinct-shingle relation is
+    # DETERMINISTIC (monotonically_increasing_id is not stable across
+    # partition recomputes, which would tear the cached encoding); the
+    # window is one task over |distinct shingles| rows — vocabulary-
+    # bounded, acceptable under this operator's small-SF ground-truth
+    # contract (the docstring's 100 TB path is d7). Shingles are never
+    # NULL (concat_ws returns '' at worst), so the inner dict join drops
+    # no rows and per-doc sizes are unchanged.
+    dic = (
+        sh0.select("sh").distinct()
+        .select("sh", F.row_number().over(Window.orderBy("sh")).alias("sid"))
+    )
+    sh = sh0.join(F.broadcast(dic), "sh").select("doc", "sid").cache()
     _CACHED_FRAMES.append(sh)  # released via release_caches() (long sessions)
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     # The co-shingle join emits ~Σ m·(m-1)/2 rows (hundreds of millions
@@ -459,7 +476,7 @@ def ngram_jaccard_pairs(
     # ground truth; the 100 TB path is d7 (docstring above).
     joined = (
         shw.alias("a")
-        .join(F.broadcast(shw.alias("b")), on="sh")
+        .join(F.broadcast(shw.alias("b")), on="sid")
         .where(F.col("a.doc") < F.col("b.doc"))
         .where(
             F.least(F.col("a.sz"), F.col("b.sz")) * 1_000_000
